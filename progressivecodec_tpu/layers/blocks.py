@@ -1,0 +1,273 @@
+"""NN building blocks: conv layers, GDN, shifted window attention.
+
+TPU-first re-design of the reference's block zoo
+(/root/reference/src/compress/layers/{gdn.py,layers.py,win_attention.py}):
+NHWC layout throughout, matmul-shaped channel mixing for the MXU, static
+shapes, no data-dependent control flow.  Parameter orientation is chosen so
+a torch checkpoint importer is a pure transpose/flip.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from progressivecodec_tpu.ops.conv import conv2d, deconv2d, pixel_shuffle
+from progressivecodec_tpu.ops.math import nonneg_init, nonneg_reparam
+
+
+def gelu(x):
+    """Exact (erf) GELU — matches torch.nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _kaiming_conv_init(key, shape, dtype=jnp.float32):
+    """Kaiming-normal (fan_out, relu) for HWIO kernels.
+
+    The reference initializes conv/deconv weights with
+    nn.init.kaiming_normal_ (models/base.py weight init).
+    """
+    kh, kw, cin, cout = shape
+    fan_out = kh * kw * cout
+    std = math.sqrt(2.0 / fan_out)
+    return jax.random.normal(key, shape, dtype) * std
+
+
+class Conv(nn.Module):
+    """Conv2d(k, stride, padding=k//2) in NHWC."""
+
+    features: int
+    kernel_size: int = 5
+    stride: int = 2
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "kernel",
+            _kaiming_conv_init,
+            (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        return conv2d(x, w, b, stride=self.stride)
+
+
+class Deconv(nn.Module):
+    """ConvTranspose2d(k, stride, p=k//2, op=stride-1) in NHWC."""
+
+    features: int
+    kernel_size: int = 5
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "kernel",
+            _kaiming_conv_init,
+            (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return deconv2d(x, w, b, stride=self.stride)
+
+
+class SubpelConv(nn.Module):
+    """3x3 conv + pixel shuffle upsampling (layers/layers.py:20-24)."""
+
+    features: int
+    r: int = 2
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        y = Conv(self.features * self.r**2, kernel_size=self.kernel_size, stride=1, name="conv")(x)
+        return pixel_shuffle(y, self.r)
+
+
+class GDN(nn.Module):
+    """Generalized divisive normalization: y = x / sqrt(beta + sum_j gamma[o,j] x_j^2).
+
+    The channel mixing is a (BHW, C) x (C, C) matmul — MXU-shaped; XLA fuses
+    the square and rsqrt into it.  Parameters live in the non-negative
+    reparam space exactly like the reference (layers/gdn.py:40-48).
+    """
+
+    inverse: bool = False
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        beta = self.param("beta", lambda k, s: nonneg_init(jnp.ones(s)), (c,))
+        gamma = self.param(
+            "gamma", lambda k, s: nonneg_init(self.gamma_init * jnp.eye(c)), (c, c)
+        )
+        beta_v = nonneg_reparam(beta, self.beta_min)
+        gamma_v = nonneg_reparam(gamma)
+        x32 = x.astype(jnp.float32)
+        # norm[..., o] = beta[o] + sum_j gamma[o, j] * x[..., j]^2
+        norm = jnp.einsum("bhwj,oj->bhwo", x32 * x32, gamma_v, preferred_element_type=jnp.float32) + beta_v
+        out = x32 * jnp.sqrt(norm) if self.inverse else x32 * jax.lax.rsqrt(norm)
+        return out.astype(x.dtype)
+
+
+def _rel_pos_index(wh: int, ww: int) -> np.ndarray:
+    """Relative-position index table for a (wh, ww) window (win_attention.py:63-74)."""
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)  # (wh*ww, wh*ww)
+
+
+def _shift_attn_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
+    """(-100/0) additive mask for shifted windows (win_attention.py:159-177)."""
+    img = np.zeros((h, w))
+    cnt = 0
+    for hs in (slice(0, h - window), slice(h - window, h - shift), slice(h - shift, None)):
+        for ws in (slice(0, w - window), slice(w - window, w - shift), slice(w - shift, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    nh, nw = h // window, w // window
+    win = img.reshape(nh, window, nw, window).transpose(0, 2, 1, 3).reshape(-1, window * window)
+    diff = win[:, None, :] - win[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)  # (nW, ws*ws, ws*ws)
+
+
+class WinBasedAttention(nn.Module):
+    """Swin-style (shifted) window MSA block with relative position bias.
+
+    Windows are strictly local (4x4 / 8x8) — the property the spatial-tiling
+    halo-exchange path relies on.  Pure reshapes + dot_general; the (shift)
+    attention mask is built at trace time from static H, W.
+    """
+
+    num_heads: int = 8
+    window_size: int = 8
+    shift_size: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        ws, ss = self.window_size, self.shift_size
+        nh, nw = h // ws, w // ws
+        heads = self.num_heads
+        hd = c // heads
+        shortcut = x
+
+        if ss > 0:
+            x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
+            attn_mask = jnp.asarray(_shift_attn_mask(h, w, ws, ss))  # (nW, N, N)
+        else:
+            attn_mask = None
+
+        # partition: (b, nh, ws, nw, ws, c) -> (b*nh*nw, ws*ws, c)
+        xw = x.reshape(b, nh, ws, nw, ws, c).transpose(0, 1, 3, 2, 4, 5)
+        xw = xw.reshape(b * nh * nw, ws * ws, c)
+
+        qkv_w = self.param(
+            "qkv_kernel", nn.initializers.lecun_normal(), (c, 3 * c)
+        )
+        qkv_b = self.param("qkv_bias", nn.initializers.zeros, (3 * c,))
+        qkv = xw.astype(jnp.float32) @ qkv_w + qkv_b
+        qkv = qkv.reshape(-1, ws * ws, 3, heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, heads, N, hd)
+
+        scale = hd**-0.5
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32)
+
+        bias_table = self.param(
+            "rel_pos_bias",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) * (2 * ws - 1), heads),
+        )
+        idx = jnp.asarray(_rel_pos_index(ws, ws))
+        rel_bias = bias_table[idx.reshape(-1)].reshape(ws * ws, ws * ws, heads)
+        attn = attn + rel_bias.transpose(2, 0, 1)[None]
+
+        if attn_mask is not None:
+            n = ws * ws
+            attn = attn.reshape(b, nh * nw, heads, n, n) + attn_mask[None, :, None]
+            attn = attn.reshape(-1, heads, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(-1, ws * ws, c)
+
+        proj_w = self.param("proj_kernel", nn.initializers.lecun_normal(), (c, c))
+        proj_b = self.param("proj_bias", nn.initializers.zeros, (c,))
+        out = out @ proj_w + proj_b
+
+        # reverse partition
+        out = out.reshape(b, nh, nw, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+        out = out.reshape(b, h, w, c)
+        if ss > 0:
+            out = jnp.roll(out, shift=(ss, ss), axis=(1, 2))
+        return shortcut + out.astype(shortcut.dtype)
+
+
+class ResidualUnit(nn.Module):
+    """conv1x1 -> GELU -> conv3x3 -> GELU -> conv1x1 + skip, GELU (layers.py:38-57)."""
+
+    @nn.compact
+    def __call__(self, x):
+        n = x.shape[-1]
+        y = Conv(n // 2, kernel_size=1, stride=1, name="conv1")(x)
+        y = gelu(y)
+        y = Conv(n // 2, kernel_size=3, stride=1, name="conv2")(y)
+        y = gelu(y)
+        y = Conv(n, kernel_size=1, stride=1, name="conv3")(y)
+        return gelu(x + y)
+
+
+class WinNoShiftAttention(nn.Module):
+    """Two-branch gated attention block (layers/layers.py:31-75).
+
+    out = x + conv_a(x) * sigmoid(conv_b(x)) where conv_b runs the (shifted)
+    window-attention block first.
+    """
+
+    num_heads: int = 8
+    window_size: int = 8
+    shift_size: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        a = x
+        for i in range(3):
+            a = ResidualUnit(name=f"a_res{i}")(a)
+        b = WinBasedAttention(
+            num_heads=self.num_heads,
+            window_size=self.window_size,
+            shift_size=self.shift_size,
+            name="attn",
+        )(x)
+        for i in range(3):
+            b = ResidualUnit(name=f"b_res{i}")(b)
+        b = Conv(x.shape[-1], kernel_size=1, stride=1, name="b_proj")(b)
+        return x + a * jax.nn.sigmoid(b)
+
+
+class ConvStack5(nn.Module):
+    """The 5-conv 3x3 parameter-prediction stack used by every cc/lrp
+    transform: widths 224-176-128-64-out with GELU between
+    (models/cnn.py:92-130, CHProg_cnn.py:165-274)."""
+
+    out: int = 32
+    widths: Sequence[int] = (224, 176, 128, 64)
+
+    @nn.compact
+    def __call__(self, x):
+        y = x
+        for i, wd in enumerate(self.widths):
+            y = Conv(wd, kernel_size=3, stride=1, name=f"conv{i}")(y)
+            y = gelu(y)
+        return Conv(self.out, kernel_size=3, stride=1, name=f"conv{len(self.widths)}")(y)
