@@ -35,8 +35,7 @@ class WACNN(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        n, m = cfg.N, 320 if cfg.name == "cnn" else cfg.M
-        self.M_eff = m
+        n, m = cfg.N, cfg.M
         self.num_slices = m // cfg.dim_chunk
         self.g_a = AnalysisTransform(N=n, M=m, name="g_a")
         self.g_s = SynthesisTransform(N=n, M=m, name="g_s")

@@ -1,0 +1,114 @@
+"""End-to-end tests for the progressive model on a tiny config:
+forward shapes, quality monotonicity, and the real-codec round trip
+(the reference's implicit checks, SURVEY.md §4, made explicit)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from progressivecodec_tpu.config import ModelConfig, ScaleTableConfig
+from progressivecodec_tpu.models.progressive import ChannelProgressiveWACNN
+from progressivecodec_tpu.models.codec import Codec
+
+TINY = ModelConfig(
+    name="channel",
+    N=32,
+    M=64,
+    dim_chunk=8,
+    division_dimension=(32, 64),
+    mask_policy="point-based-std",
+    scale_table=ScaleTableConfig(levels=32),
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = ChannelProgressiveWACNN(cfg=TINY)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.vmap  # placeholder
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, x, training=False
+    )
+    return model, variables
+
+
+def test_forward_shapes(tiny_model):
+    model, variables = tiny_model
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    out = model.apply(variables, x, quality=[0, 10], training=True, rng=jax.random.PRNGKey(2))
+    # stacked reconstructions: q=0 and q=10
+    assert out["x_hat"].shape == (2, 2, 64, 64, 3)
+    assert out["likelihoods"]["y"].shape == (2, 4, 4, 32)
+    assert out["likelihoods"]["y_prog"].shape == (1, 2, 4, 4, 64)
+    assert out["likelihoods"]["z"].shape[0] == 2
+    assert np.isfinite(np.asarray(out["x_hat"])).all()
+
+
+def test_forward_single_quality_runs(tiny_model):
+    model, variables = tiny_model
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    for q in [0, 3, 10]:
+        out = model.apply(
+            variables, x, q, training=False, method=ChannelProgressiveWACNN.forward_single_quality
+        )
+        assert out["x_hat"].shape == (1, 64, 64, 3)
+        assert np.isfinite(np.asarray(out["x_hat"])).all()
+
+
+def test_codec_roundtrip_all_qualities(tiny_model):
+    """decompress(compress(x)) must equal the encoder's own reconstruction
+    exactly, and the stream must fully validate (stream_ok)."""
+    model, variables = tiny_model
+    codec = Codec(model, variables, lanes=64)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    for q in [0, 2, 5, 10]:
+        data = codec.compress(x, quality=q, simulate=True)
+        out = codec.decompress(data)
+        assert bool(out["stream_ok"]), f"stream integrity failed at q={q}"
+        np.testing.assert_allclose(
+            np.asarray(out["x_hat"]), np.asarray(data["x_hat"]), atol=1e-5,
+            err_msg=f"decode != encoder simulation at q={q}",
+        )
+
+
+def test_codec_bpp_monotone_in_quality(tiny_model):
+    model, variables = tiny_model
+    codec = Codec(model, variables, lanes=64)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (1, 64, 64, 3))
+    sizes = [codec.compress(x, quality=q)["num_bytes"] for q in [0, 2, 5, 10]]
+    assert sizes == sorted(sizes), f"bpp should grow with quality: {sizes}"
+    assert sizes[-1] > sizes[0]
+
+
+def test_codec_bpp_matches_entropy_estimate(tiny_model):
+    """Real string length vs -log2 likelihood estimate (the reference's
+    implicit cross-check between test_epoch and compress_with_ac)."""
+    model, variables = tiny_model
+    codec = Codec(model, variables, lanes=64)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (1, 64, 64, 3))
+    q = 10
+    data = codec.compress(x, quality=q)
+    real_bits = data["num_bytes"] * 8
+    out = codec.forward_single_quality(x, q)
+    est = -(
+        jnp.log2(out["likelihoods"]["y"]).sum() + jnp.log2(out["likelihoods"]["z"]).sum()
+    )
+    est = float(est)
+    overhead = 2 * codec.lanes * 16  # lane-state header bits
+    assert real_bits < est * 1.12 + overhead + 64
+    assert real_bits > est * 0.8
+
+
+def test_container_serialization(tiny_model):
+    model, variables = tiny_model
+    codec = Codec(model, variables, lanes=64)
+    x = jax.random.uniform(jax.random.PRNGKey(6), (1, 64, 64, 3))
+    data = codec.compress(x, quality=5)
+    blob = codec.serialize(data)
+    back = codec.deserialize(blob)
+    np.testing.assert_array_equal(back["stream"], data["stream"])
+    assert back["z_shape"] == data["z_shape"]
+    assert back["quality"] == data["quality"]
+    out = codec.decompress(back)
+    assert bool(out["stream_ok"])
