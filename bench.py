@@ -1,0 +1,68 @@
+"""Benchmark: Kodak-size images/s/chip, encode+decode at max quality.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's published decode-time anchor is 2.30-9.18
+s/image (result_list.py:107-127; GPU transforms + single-threaded CPU
+rANS).  We take the FASTEST end of that range (2.30 s/image = 0.435
+images/s) as the conservative baseline; vs_baseline = ours / 0.435.
+
+Weights are randomly initialized — throughput does not depend on weight
+values (shapes/work are identical), and no reference checkpoint ships in
+the repo.  Input is a synthetic 768x512 image (Kodak geometry).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from progressivecodec_tpu.config import ModelConfig
+    from progressivecodec_tpu.models.progressive import ChannelProgressiveWACNN
+    from progressivecodec_tpu.models.codec import Codec
+
+    cfg = ModelConfig()
+    model = ChannelProgressiveWACNN(cfg=cfg)
+    h, w = 512, 768  # Kodak geometry (multiple of 64 already)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, h, w, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x[:, :64, :64], training=False)
+
+    codec = Codec(model, variables, lanes=512)
+    codec.update()
+
+    quality = 10.0
+    # warm up / compile both paths
+    data = codec.compress(x, quality=quality)
+    out = codec.decompress(data)
+    assert bool(out["stream_ok"]), "stream integrity check failed"
+    jax.block_until_ready(out["x_hat"])
+
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        data = codec.compress(x, quality=quality)
+        out = codec.decompress(data)
+        jax.block_until_ready(out["x_hat"])
+    dt = (time.perf_counter() - t0) / iters
+
+    images_per_s = 1.0 / dt
+    baseline = 1.0 / 2.30  # fastest reference decode anchor
+    print(
+        json.dumps(
+            {
+                "metric": "kodak_enc_dec_images_per_s_per_chip_q10",
+                "value": round(images_per_s, 4),
+                "unit": "images/s",
+                "vs_baseline": round(images_per_s / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

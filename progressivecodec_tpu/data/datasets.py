@@ -1,0 +1,179 @@
+"""Input pipeline: image folders, random-crop patch loader, host sharding.
+
+Behavioral spec: /root/reference/src/compress/datasets/utils.py:11-74
+(OpenImages `root/split/data` layout capped at num_images; Kodak dir of
+images).  TPU-first: per-host file sharding (each host reads a disjoint
+stripe — pod-ready), background prefetch threads, NHWC float32 batches.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, Sequence
+
+import numpy as np
+
+_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".ppm")
+
+
+def load_image(path: str) -> np.ndarray:
+    """RGB float32 HWC in [0, 1]."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
+
+
+def _list_images(root: str) -> list[str]:
+    files = sorted(
+        os.path.join(root, f) for f in os.listdir(root) if f.lower().endswith(_EXTS)
+    )
+    return files
+
+
+class ImageFolderDataset:
+    """`root/split/data` file list, capped, sharded across hosts.
+
+    Sharding: host h of H takes files[h::H] — disjoint stripes so a pod
+    never reads a sample twice per epoch (replaces the reference's single-
+    process DataLoader, train.py:209-233).
+    """
+
+    def __init__(
+        self,
+        root: str,
+        split: str = "train",
+        num_images: int | None = None,
+        host_index: int = 0,
+        host_count: int = 1,
+    ):
+        base = os.path.join(root, split, "data")
+        if not os.path.isdir(base):
+            base = os.path.join(root, split)
+        if not os.path.isdir(base):
+            base = root
+        files = _list_images(base)
+        if num_images:
+            files = files[:num_images]
+        self.files = files[host_index::host_count]
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return load_image(self.files[i])
+
+
+class KodakDataset(ImageFolderDataset):
+    def __init__(self, root: str):
+        super().__init__(root, split="")
+        if not self.files:
+            raise FileNotFoundError(f"no images under {root}")
+
+
+def random_crop(img: np.ndarray, size: int, rng: np.random.Generator) -> np.ndarray:
+    h, w = img.shape[:2]
+    if h < size or w < size:
+        # reflect-pad small images up to the patch size
+        img = np.pad(
+            img,
+            ((0, max(0, size - h)), (0, max(0, size - w)), (0, 0)),
+            mode="reflect",
+        )
+        h, w = img.shape[:2]
+    top = int(rng.integers(0, h - size + 1))
+    left = int(rng.integers(0, w - size + 1))
+    return img[top : top + size, left : left + size]
+
+
+class PatchLoader:
+    """Random-crop batch iterator with background prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        patch_size: int,
+        seed: int = 0,
+        prefetch: int = 4,
+        workers: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.patch_size = patch_size
+        self.seed = seed
+        self.prefetch = prefetch
+        self.workers = workers
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[np.ndarray]:
+        rng = np.random.default_rng(self.seed + epoch_idx)
+        order = rng.permutation(len(self.dataset))
+        n_batches = len(order) // self.batch_size
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        batch_ids = [
+            order[b * self.batch_size : (b + 1) * self.batch_size]
+            for b in range(n_batches)
+        ]
+        task_q: queue.Queue = queue.Queue()
+        for b, ids in enumerate(batch_ids):
+            task_q.put((b, ids))
+        results: dict[int, np.ndarray] = {}
+        results_lock = threading.Lock()
+
+        def worker(wid: int):
+            wrng = np.random.default_rng(self.seed * 7919 + epoch_idx * 131 + wid)
+            while True:
+                try:
+                    b, ids = task_q.get_nowait()
+                except queue.Empty:
+                    return
+                batch = np.stack(
+                    [
+                        random_crop(self.dataset[int(i)], self.patch_size, wrng)
+                        for i in ids
+                    ]
+                )
+                with results_lock:
+                    results[b] = batch
+
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(self.workers)
+        ]
+        for t in threads:
+            t.start()
+        served = 0
+        while served < n_batches:
+            with results_lock:
+                ready = served in results
+            if ready:
+                with results_lock:
+                    yield results.pop(served)
+                served += 1
+            else:
+                threading.Event().wait(0.005)
+        for t in threads:
+            t.join()
+
+
+class SyntheticDataset:
+    """Deterministic random images — lets training/benchmarks run in
+    environments without a dataset on disk."""
+
+    def __init__(self, n: int = 64, size: int = 512, seed: int = 0):
+        self.n = n
+        self.size = size
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed + i)
+        # smooth random field: low-frequency content compresses sanely
+        small = rng.random((self.size // 8, self.size // 8, 3)).astype(np.float32)
+        img = np.kron(small, np.ones((8, 8, 1), np.float32))
+        img += 0.05 * rng.standard_normal(img.shape).astype(np.float32)
+        return np.clip(img, 0.0, 1.0)

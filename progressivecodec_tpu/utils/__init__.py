@@ -1,0 +1,3 @@
+from progressivecodec_tpu.utils.metrics import psnr, ms_ssim, ms_ssim_db
+
+__all__ = ["psnr", "ms_ssim", "ms_ssim_db"]
