@@ -190,6 +190,13 @@ class ChannelProgressiveWACNN(nn.Module):
         lrp_support = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
         return 0.5 * jnp.tanh(self.lrp_prog(i, lrp_support))
 
+    def _refine_prog_params(
+        self, i, quality, mu, scale, mu_b, scale_b, y_b_hat, training, mask_pol
+    ):
+        """Hook for REM-style (mu, scale) refinement of enhancement slices
+        (identity here; overridden by PostRateProcessedNetwork)."""
+        return mu, scale
+
     def _z_branch(self, y, training: bool, rng):
         z = self.h_a(y)
         _, z_lik = self.entropy_bottleneck(z, training=training, rng=rng)
@@ -228,10 +235,13 @@ class ChannelProgressiveWACNN(nn.Module):
         y_slices = jnp.split(y, cfg.ns1, axis=-1)
 
         y_hat_base, y_lik_base = [], []
+        mu_base_list, std_base_list = [], []
         for i in range(cfg.ns0):
             mu, scale, mean_support = self._base_slice(
                 i, latent_means, latent_scales, y_hat_base
             )
+            mu_base_list.append(mu)
+            std_base_list.append(scale)
             _, lik = gaussian_forward(
                 y_slices[i], scale, mu, training=training, rng=next(rng_i) if training else None
             )
@@ -258,6 +268,10 @@ class ChannelProgressiveWACNN(nn.Module):
                 )
                 std_total.append(scale if cfg.support_std else mut)
                 mu_total.append(mut)
+                mu, scale = self._refine_prog_params(
+                    i, q, mu, scale, mu_base_list[i], std_base_list[i],
+                    y_hat_base[i], training, mask_pol,
+                )
 
                 mask = channel_mask(
                     scale,
@@ -318,10 +332,13 @@ class ChannelProgressiveWACNN(nn.Module):
         y_slices = jnp.split(y, cfg.ns1, axis=-1)
 
         y_hat_base, y_lik = [], []
+        mu_base_list, std_base_list = [], []
         for i in range(cfg.ns0):
             mu, scale, mean_support = self._base_slice(
                 i, latent_means, latent_scales, y_hat_base
             )
+            mu_base_list.append(mu)
+            std_base_list.append(scale)
             _, lik = gaussian_forward(y_slices[i], scale, mu, training=training, rng=rng)
             y_lik.append(lik)
             y_hat_slice = ste_round(y_slices[i] - mu) + mu
@@ -348,6 +365,10 @@ class ChannelProgressiveWACNN(nn.Module):
             )
             std_total.append(scale if cfg.support_std else mut)
             mu_total.append(mut)
+            mu, scale = self._refine_prog_params(
+                i, quality, mu, scale, mu_base_list[i], std_base_list[i],
+                y_hat_base[i], training, mask_pol,
+            )
             mask = channel_mask(
                 scale, pr=quality, mask_pol=mask_pol, slice_index=i,
                 dim_chunk=cfg.dim_chunk, division_channel=cfg.division_channel,
@@ -414,10 +435,13 @@ class ChannelProgressiveWACNN(nn.Module):
         stages = [(z_sym.reshape(-1), z_idx.reshape(-1), jnp.ones(z_sym.size, bool))]
 
         y_hat_base = []
+        mu_base_list, std_base_list = [], []
         for i in range(cfg.ns0):
             mu, scale, mean_support = self._base_slice(
                 i, latent_means, latent_scales, y_hat_base
             )
+            mu_base_list.append(mu)
+            std_base_list.append(scale)
             index = self._gauss_indexes(scale)
             sym = jnp.round((y_slices[i] - mu).astype(jnp.float32)).astype(jnp.int32)
             stages.append(
@@ -440,6 +464,10 @@ class ChannelProgressiveWACNN(nn.Module):
                 )
                 std_total.append(scale if cfg.support_std else mut)
                 mu_total.append(mut)
+                mu, scale = self._refine_prog_params(
+                    i, quality, mu, scale, mu_base_list[i], std_base_list[i],
+                    y_hat_base[i], False, mask_pol,
+                )
                 mask = channel_mask(
                     scale, pr=quality, mask_pol=mask_pol, slice_index=i,
                     dim_chunk=cfg.dim_chunk, division_channel=cfg.division_channel,
@@ -511,10 +539,13 @@ class ChannelProgressiveWACNN(nn.Module):
         latent_means, latent_scales = self.hyper_params(z_hat, quality)
 
         y_hat_base = []
+        mu_base_list, std_base_list = [], []
         for i in range(cfg.ns0):
             mu, scale, mean_support = self._base_slice(
                 i, latent_means, latent_scales, y_hat_base
             )
+            mu_base_list.append(mu)
+            std_base_list.append(scale)
             index = self._gauss_indexes(scale)
             dec, vals = rans_device.decode_stage(
                 dec,
@@ -541,6 +572,10 @@ class ChannelProgressiveWACNN(nn.Module):
             )
             std_total.append(scale if cfg.support_std else mut)
             mu_total.append(mut)
+            mu, scale = self._refine_prog_params(
+                i, quality, mu, scale, mu_base_list[i], std_base_list[i],
+                y_hat_base[i], False, mask_pol,
+            )
             mask = channel_mask(
                 scale, pr=quality, mask_pol=mask_pol, slice_index=i,
                 dim_chunk=cfg.dim_chunk, division_channel=cfg.division_channel,

@@ -1,0 +1,76 @@
+"""REM (rate-enhancement) model tests: refinement activates between
+checkpoints, codec round trip stays exact."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from progressivecodec_tpu.config import ModelConfig, ScaleTableConfig
+from progressivecodec_tpu.models.rem import (
+    PostRateProcessedNetwork,
+    find_check_quality,
+    _interval_index,
+)
+from progressivecodec_tpu.models.codec import Codec
+
+TINY = ModelConfig(
+    name="rate", N=32, M=64, dim_chunk=8, division_dimension=(32, 64),
+    scale_table=ScaleTableConfig(levels=32), check_levels=(0.01, 0.25, 1.75),
+)
+
+
+def test_find_check_quality():
+    cl = (0.01, 0.25, 1.75)
+    assert find_check_quality(0.005, cl) == (0.0, 0.0)
+    assert find_check_quality(0.1, cl) == (0.01, 0.25)
+    assert find_check_quality(1.0, cl) == (0.25, 1.75)
+    assert find_check_quality(5.0, cl) == (1.75, 10.0)
+    assert _interval_index(0.1, cl) == 0
+    assert _interval_index(1.0, cl) == 1
+    assert _interval_index(5.0, cl) == 2
+
+
+@pytest.fixture(scope="module")
+def rem_model():
+    model = PostRateProcessedNetwork(cfg=TINY)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        x,
+        PostRateProcessedNetwork.init_qualities(TINY),
+        training=False,
+    )
+    return model, variables
+
+
+def test_rem_has_banks(rem_model):
+    model, variables = rem_model
+    names = set(variables["params"].keys())
+    for k in range(3):
+        for i in range(TINY.ns0):
+            assert f"post_latent{k}_{i}" in names
+
+
+def test_rem_forward_single_quality(rem_model):
+    model, variables = rem_model
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    for q in [0, 1.0, 5.0]:
+        out = model.apply(
+            variables, x, q, training=False,
+            method=PostRateProcessedNetwork.forward_single_quality,
+        )
+        assert np.isfinite(np.asarray(out["x_hat"])).all()
+
+
+def test_rem_codec_roundtrip(rem_model):
+    model, variables = rem_model
+    codec = Codec(model, variables, lanes=64)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    for q in [0, 1.0, 10.0]:
+        data = codec.compress(x, quality=q, simulate=True)
+        out = codec.decompress(data)
+        assert bool(out["stream_ok"]), f"q={q}"
+        np.testing.assert_allclose(
+            np.asarray(out["x_hat"]), np.asarray(data["x_hat"]), atol=1e-5
+        )

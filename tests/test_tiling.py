@@ -1,0 +1,65 @@
+"""Spatial tiling exactness: tiled transforms and global-quantile masks
+must match the single-chip computation (SURVEY.md §5 sharding invariant)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from progressivecodec_tpu.config import ModelConfig, ScaleTableConfig
+from progressivecodec_tpu.models.progressive import ChannelProgressiveWACNN
+from progressivecodec_tpu.parallel.mesh import make_mesh
+from progressivecodec_tpu.parallel.tiling import (
+    tiled_analyze,
+    tiled_synthesize,
+    global_quantile_mask,
+)
+from progressivecodec_tpu.layers.masking import quantile_mask
+
+TINY = ModelConfig(
+    name="channel", N=32, M=64, dim_chunk=8, division_dimension=(32, 64),
+    scale_table=ScaleTableConfig(levels=32),
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = ChannelProgressiveWACNN(cfg=TINY)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3)), training=False
+    )
+    mesh = make_mesh(n_data=1, n_model=2)
+    return model, variables, mesh
+
+
+def test_tiled_analyze_matches_full(setup):
+    model, variables, mesh = setup
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 512, 3))
+    full = model.apply(variables, x, method=ChannelProgressiveWACNN.analyze)
+    with mesh:
+        tiled = tiled_analyze(model, variables, x, mesh, axis="model")
+    assert tiled.shape == full.shape
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(full), atol=2e-5)
+
+
+def test_tiled_synthesize_matches_full(setup):
+    model, variables, mesh = setup
+    y = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 32, 32))
+
+    def g(m):
+        return m.g_s[1](y)
+
+    full = model.apply(variables, method=g)
+    with mesh:
+        tiled = tiled_synthesize(model, variables, y, mesh, decoder_index=1, halo_latent=16)
+    assert tiled.shape == full.shape
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(full), atol=2e-5)
+
+
+def test_global_quantile_mask_matches_single_chip(setup):
+    _, _, mesh = setup
+    sigma = jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (2, 8, 64, 8)))
+    ref = quantile_mask(sigma, 0.3)
+    with mesh:
+        got = global_quantile_mask(sigma, 0.3, mesh, axis="model")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
