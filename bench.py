@@ -22,6 +22,9 @@ import jax.numpy as jnp
 
 
 def main():
+    from progressivecodec_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from progressivecodec_tpu.config import ModelConfig
     from progressivecodec_tpu.models.progressive import ChannelProgressiveWACNN
     from progressivecodec_tpu.models.codec import Codec
@@ -30,7 +33,9 @@ def main():
     model = ChannelProgressiveWACNN(cfg=cfg)
     h, w = 512, 768  # Kodak geometry (multiple of 64 already)
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, h, w, 3), jnp.float32)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, x[:, :64, :64], training=False)
+    variables = jax.jit(
+        lambda r, xx: model.init({"params": r}, xx, training=False)
+    )(jax.random.PRNGKey(0), x[:, :64, :64])
 
     codec = Codec(model, variables, lanes=512)
     codec.update()

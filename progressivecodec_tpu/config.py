@@ -61,6 +61,7 @@ class ModelConfig:
     total_mu_rep: bool = False
     all_scalable: bool = False
     u_net_post: int = 0  # 0 | 1 | 2
+    stack_prog: bool = True  # vectorize the independent enhancement slices
     lmbda_list: tuple[float, ...] = (0.0055, 0.04)
     scale_table: ScaleTableConfig = dataclasses.field(default_factory=ScaleTableConfig)
     # REM ("rate") model extras (CHProgREM.py:228-234)

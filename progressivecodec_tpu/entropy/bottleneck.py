@@ -146,10 +146,24 @@ def build_bottleneck_tables(variables: dict, precision: int = 16) -> dict:
 
     samples = np.arange(max_length)[None, :] + pmf_start[:, None]  # (C, L)
     c = samples.shape[0]
-    vals = jnp.asarray(samples.reshape(c, 1, -1), dtype=jnp.float32)
-    mlp = {k: jnp.asarray(v) for k, v in params.items() if k != "quantiles"}
-    lower = np.asarray(_logits_cumulative(mlp, vals - 0.5, stop_gradient=True))
-    upper = np.asarray(_logits_cumulative(mlp, vals + 0.5, stop_gradient=True))
+
+    # pure-numpy mirror of _logits_cumulative: table building must never
+    # touch the accelerator (eager per-op dispatch through remote backends
+    # is pathologically slow, and determinism matters more than speed here)
+    def np_logits(values):
+        logits = values.astype(np.float32)
+        for i in range(len(_FILTERS) + 1):
+            m = np.asarray(params[f"matrix{i}"], np.float32)
+            logits = np.einsum("cij,cjn->cin", np.logaddexp(0.0, m), logits)
+            logits = logits + np.asarray(params[f"bias{i}"], np.float32)
+            if i < len(_FILTERS):
+                f = np.asarray(params[f"factor{i}"], np.float32)
+                logits = logits + np.tanh(f) * np.tanh(logits)
+        return logits
+
+    vals = samples.reshape(c, 1, -1)
+    lower = np_logits(vals - 0.5)
+    upper = np_logits(vals + 0.5)
     sign = -np.sign(lower + upper)
 
     def sigmoid(v):

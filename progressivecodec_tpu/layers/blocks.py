@@ -116,6 +116,31 @@ class GDN(nn.Module):
         return out.astype(x.dtype)
 
 
+class GDN1(nn.Module):
+    """Simplified GDN (Johnston 2019): y = x / (beta + sum_j gamma[o,j] |x_j|)
+    (layers/gdn.py:66-92); inverse multiplies instead."""
+
+    inverse: bool = False
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        beta = self.param("beta", lambda k, s: nonneg_init(jnp.ones(s)), (c,))
+        gamma = self.param(
+            "gamma", lambda k, s: nonneg_init(self.gamma_init * jnp.eye(c)), (c, c)
+        )
+        beta_v = nonneg_reparam(beta, self.beta_min)
+        gamma_v = nonneg_reparam(gamma)
+        x32 = x.astype(jnp.float32)
+        norm = jnp.einsum(
+            "bhwj,oj->bhwo", jnp.abs(x32), gamma_v, preferred_element_type=jnp.float32
+        ) + beta_v
+        out = x32 * norm if self.inverse else x32 / norm
+        return out.astype(x.dtype)
+
+
 def _rel_pos_index(wh: int, ww: int) -> np.ndarray:
     """Relative-position index table for a (wh, ww) window (win_attention.py:63-74)."""
     coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))

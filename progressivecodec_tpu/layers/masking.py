@@ -109,6 +109,65 @@ def channel_mask(
     raise NotImplementedError(f"mask policy {mask_pol!r}")
 
 
+def stacked_channel_mask(
+    scale_stack: jax.Array,
+    *,
+    pr: float,
+    mask_pol: str = "point-based-std",
+    dim_chunk: int = 32,
+    division_channel: int = 320,
+) -> jax.Array:
+    """Vectorized mask over all enhancement slices at once.
+
+    scale_stack: (S, B, H, W, dim_chunk) — per-(slice, image) ranking, one
+    fused quantile instead of S separate calls.  Semantics identical to
+    per-slice :func:`channel_mask`.
+    """
+    s, b = scale_stack.shape[0], scale_stack.shape[1]
+    if mask_pol == "point-based-std":
+        if pr >= 10:
+            return jnp.ones_like(scale_stack, dtype=jnp.float32)
+        if pr <= 0:
+            return jnp.zeros_like(scale_stack, dtype=jnp.float32)
+        flat = scale_stack.reshape(s * b, -1).astype(jnp.float32)
+        q = jnp.quantile(flat, 1.0 - min(pr, 10) * 0.1, axis=1, method="linear")
+        return (flat >= q[:, None]).reshape(scale_stack.shape).astype(jnp.float32)
+
+    if mask_pol == "two-levels":
+        fill = 0.0 if pr == 0 else 1.0
+        return jnp.full_like(scale_stack, fill, dtype=jnp.float32)
+
+    if mask_pol == "three-levels-std":
+        if pr == 0:
+            return jnp.zeros_like(scale_stack, dtype=jnp.float32)
+        if pr == 2:
+            return jnp.ones_like(scale_stack, dtype=jnp.float32)
+        flat = scale_stack.reshape(s * b, -1).astype(jnp.float32)
+        q = jnp.quantile(flat, 0.8, axis=1, method="linear")
+        return (flat >= q[:, None]).reshape(scale_stack.shape).astype(jnp.float32)
+
+    if mask_pol == "scalable_res":
+        if pr == 0:
+            return jnp.zeros_like(scale_stack, dtype=jnp.float32)
+        if pr == 10:
+            return jnp.ones_like(scale_stack, dtype=jnp.float32)
+        import numpy as np
+
+        ones_channel = int(division_channel * pr * 0.1)
+        per_slice = np.zeros((s, dim_chunk), np.float32)
+        for i in range(s):
+            lo, hi = i * dim_chunk, (i + 1) * dim_chunk
+            if ones_channel >= hi:
+                per_slice[i] = 1.0
+            elif ones_channel >= lo:
+                per_slice[i, ones_channel % dim_chunk :] = 1.0
+        return jnp.broadcast_to(
+            jnp.asarray(per_slice)[:, None, None, None, :], scale_stack.shape
+        )
+
+    raise NotImplementedError(f"stacked mask policy {mask_pol!r}")
+
+
 def apply_mask_noise(mask: jax.Array, training: bool) -> jax.Array:
     """STE-round in training, hard round at eval (masking.py:125-133)."""
     return ste_round(mask) if training else jnp.round(mask)

@@ -187,8 +187,8 @@ def _stream_capacity(batch: int, z_shape: tuple, cfg: ModelConfig, lanes: int) -
     hz, wz = z_shape
     hy, wy = hz * 4, wz * 4
     n_z = batch * hz * wz * cfg.N
-    n_y = batch * hy * wy * cfg.division_dimension[1]
+    n_slices = cfg.M // cfg.dim_chunk
     padded = 0
-    for n in [n_z] + [batch * hy * wy * cfg.dim_chunk] * (cfg.ns1):
+    for n in [n_z] + [batch * hy * wy * cfg.dim_chunk] * n_slices:
         padded += -(-n // lanes) * lanes
     return 2 * lanes + padded

@@ -37,7 +37,12 @@ from progressivecodec_tpu.coder.rans_device import DeviceTables, DecoderState
 from progressivecodec_tpu.entropy.bottleneck import EntropyBottleneck
 from progressivecodec_tpu.entropy.gaussian import gaussian_forward, build_indexes
 from progressivecodec_tpu.layers.blocks import ConvStack5
-from progressivecodec_tpu.layers.masking import channel_mask, apply_mask_noise
+from progressivecodec_tpu.layers.masking import (
+    channel_mask,
+    apply_mask_noise,
+    stacked_channel_mask,
+)
+from progressivecodec_tpu.layers.masking_learnable import LearnableMaskStack
 from progressivecodec_tpu.layers.unet import UNet
 from progressivecodec_tpu.models.transforms import (
     AnalysisTransform,
@@ -95,10 +100,33 @@ class ChannelProgressiveWACNN(nn.Module):
         self.cc_mean = SliceTransforms(cfg.ns0, out=dc, name="cc_mean")
         self.cc_scale = SliceTransforms(cfg.ns0, out=dc, name="cc_scale")
         self.lrp = SliceTransforms(cfg.ns0, out=dc, name="lrp")
-        self.cc_mean_prog = SliceTransforms(cfg.num_prog_slices, out=dc, name="cc_mean_prog")
-        self.cc_scale_prog = SliceTransforms(cfg.num_prog_slices, out=dc, name="cc_scale_prog")
-        self.lrp_prog = SliceTransforms(cfg.ns0, out=dc, name="lrp_prog")
+        if self._use_stacked_prog():
+            # One vmapped bank instead of num_prog_slices unrolled stacks:
+            # valid because enhancement slices are mutually independent when
+            # support_progressive_slices == 0 (CHProg_cnn.py:377-383) — a
+            # ~10x smaller graph and batched MXU matmuls.
+            from progressivecodec_tpu.layers.blocks import ConvStack5 as _CS5
+
+            Stacked = nn.vmap(
+                _CS5,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=0,
+                out_axes=0,
+            )
+            self.cc_mean_prog = Stacked(out=dc, name="cc_mean_prog")
+            self.cc_scale_prog = Stacked(out=dc, name="cc_scale_prog")
+            self.lrp_prog = Stacked(out=dc, name="lrp_prog")
+        else:
+            self.cc_mean_prog = SliceTransforms(cfg.num_prog_slices, out=dc, name="cc_mean_prog")
+            self.cc_scale_prog = SliceTransforms(cfg.num_prog_slices, out=dc, name="cc_scale_prog")
+            self.lrp_prog = SliceTransforms(cfg.ns0, out=dc, name="lrp_prog")
         self.entropy_bottleneck = EntropyBottleneck(channels=n, name="entropy_bottleneck")
+        if "learnable" in cfg.mask_policy:
+            self.mask_conv = [
+                LearnableMaskStack(out=dc, double_dim=cfg.double_dim, name=f"mask_conv{i}")
+                for i in range(cfg.num_prog_slices)
+            ]
         if cfg.joiner_policy in ("cond", "channel_cond", "channel_res"):
             self.joiner = [JoinerStack(out=dc, name=f"joiner{i}") for i in range(cfg.ns0)]
         if cfg.u_net_post == 1:
@@ -157,6 +185,51 @@ class ChannelProgressiveWACNN(nn.Module):
         k = min(sps, i)
         return base + prog_entries[i - k : i]
 
+    def _use_stacked_prog(self) -> bool:
+        cfg = self.cfg
+        return (
+            cfg.stack_prog
+            and cfg.support_progressive_slices == 0
+            and not cfg.all_scalable
+            and cfg.joiner_policy == "res"
+            and "learnable" not in cfg.mask_policy
+        )
+
+    def _prog_params_stacked(self, latent_means, latent_scales, y_hat_base):
+        """(mu, scale, mean_support) stacks, each (S, B, h, w, *)."""
+        cfg = self.cfg
+        d0 = cfg.division_channel
+        S = cfg.num_prog_slices
+        base_stack = jnp.stack(y_hat_base, axis=0)
+        lm = jnp.broadcast_to(
+            latent_means[None, ..., d0:], (S,) + latent_means.shape[:-1] + (latent_means.shape[-1] - d0,)
+        )
+        ls = jnp.broadcast_to(
+            latent_scales[None, ..., d0:], (S,) + latent_scales.shape[:-1] + (latent_scales.shape[-1] - d0,)
+        )
+        mean_support = jnp.concatenate([lm, base_stack], axis=-1)
+        scale_support = jnp.concatenate([ls, base_stack], axis=-1)
+        mu = self.cc_mean_prog(mean_support)
+        scale = self.cc_scale_prog(scale_support)
+        return mu, scale, mean_support, base_stack
+
+    def _stack_y_prog(self, y_slices):
+        cfg = self.cfg
+        parts = []
+        for i in range(cfg.num_prog_slices):
+            y = y_slices[cfg.ns0 + i]
+            if cfg.delta_encode:
+                y = y - y_slices[i]
+            parts.append(y)
+        return jnp.stack(parts, axis=0)
+
+    @staticmethod
+    def _unstack_channels(x_stack):
+        """(S, B, h, w, dc) -> (B, h, w, S*dc) preserving slice-major
+        channel order."""
+        s_, b, h, w, dc = x_stack.shape
+        return x_stack.transpose(1, 2, 3, 0, 4).reshape(b, h, w, s_ * dc)
+
     def _base_slice(self, i, latent_means, latent_scales, y_hat_slices):
         """Shared base-slice parameter prediction (cc transforms)."""
         cfg = self.cfg
@@ -196,6 +269,28 @@ class ChannelProgressiveWACNN(nn.Module):
         """Hook for REM-style (mu, scale) refinement of enhancement slices
         (identity here; overridden by PostRateProcessedNetwork)."""
         return mu, scale
+
+    def _mask_for(self, scale, pr, mask_pol, i, y_base_slice=None):
+        """Mask dispatch: parametric policies (conv importance maps,
+        masking.py:110-123, 248-259) use the module bank; the rest are the
+        pure functions in layers/masking.py."""
+        cfg = self.cfg
+        if mask_pol is not None and "learnable" in mask_pol:
+            # three-levels-learnable semantics: pr 0 -> none, 2 -> all,
+            # else conv importance map, STE-rounded
+            if pr == 0:
+                return jnp.zeros_like(scale)
+            if pr == 2:
+                return jnp.ones_like(scale)
+            if cfg.double_dim and y_base_slice is not None:
+                inp = jnp.concatenate([scale, y_base_slice], axis=-1)
+            else:
+                inp = scale
+            return ste_round(self.mask_conv[i](inp))
+        return channel_mask(
+            scale, pr=pr, mask_pol=mask_pol, slice_index=i,
+            dim_chunk=cfg.dim_chunk, division_channel=cfg.division_channel,
+        )
 
     def _z_branch(self, y, training: bool, rng):
         z = self.h_a(y)
@@ -257,47 +352,65 @@ class ChannelProgressiveWACNN(nn.Module):
         y_hat_enh = y_hat_b
 
         for q in qualities[1:]:
-            prog_slices, lik_q = [], []
-            mu_total, std_total = [], []
-            for i in range(cfg.num_prog_slices):
-                y_slice = y_slices[cfg.ns0 + i]
-                if cfg.delta_encode:
-                    y_slice = y_slice - y_slices[i]
-                mu, scale, mut, mean_support = self._prog_slice(
-                    i, latent_means, latent_scales, y_hat_base, mu_total, std_total, prog_slices
+            if self._use_stacked_prog():
+                y_prog = self._stack_y_prog(y_slices)
+                mu, scale, mean_support, base_stack = self._prog_params_stacked(
+                    latent_means, latent_scales, y_hat_base
                 )
-                std_total.append(scale if cfg.support_std else mut)
-                mu_total.append(mut)
-                mu, scale = self._refine_prog_params(
-                    i, q, mu, scale, mu_base_list[i], std_base_list[i],
-                    y_hat_base[i], training, mask_pol,
+                mask = stacked_channel_mask(
+                    scale, pr=q, mask_pol=mask_pol or "point-based-std",
+                    dim_chunk=cfg.dim_chunk, division_channel=cfg.division_channel,
                 )
-
-                mask = channel_mask(
-                    scale,
-                    pr=q,
-                    mask_pol=mask_pol,
-                    slice_index=i,
-                    dim_chunk=cfg.dim_chunk,
-                    division_channel=cfg.division_channel,
-                )
-                mask = apply_mask_noise(mask, training and "learnable" in mask_pol)
-
-                y_m = (y_slice - mu) * mask
-                _, lik = gaussian_forward(
+                mask = apply_mask_noise(mask, False)
+                y_m = (y_prog - mu) * mask
+                _, lik_stack = gaussian_forward(
                     y_m, scale * mask, None, training=training,
                     rng=next(rng_i) if training else None,
                 )
-                lik_q.append(lik)
-                y_hat_slice = ste_round(y_slice - mu) * mask + mu
+                y_hat_stack = ste_round(y_prog - mu) * mask + mu
                 if cfg.residual_before_lrp:
-                    y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
-                y_hat_slice = y_hat_slice + self._prog_lrp(i, mean_support, y_hat_slice)
+                    y_hat_stack = y_hat_stack + base_stack
+                lrp_support = jnp.concatenate([mean_support, y_hat_stack], axis=-1)
+                y_hat_stack = y_hat_stack + 0.5 * jnp.tanh(self.lrp_prog(lrp_support))
                 if not cfg.residual_before_lrp:
-                    y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
-                prog_slices.append(y_hat_slice)
+                    y_hat_stack = y_hat_stack + base_stack
+                y_hat_enh = self._unstack_channels(y_hat_stack)
+                lik_q = [self._unstack_channels(lik_stack)]
+            else:
+                prog_slices, lik_q = [], []
+                mu_total, std_total = [], []
+                for i in range(cfg.num_prog_slices):
+                    y_slice = y_slices[cfg.ns0 + i]
+                    if cfg.delta_encode:
+                        y_slice = y_slice - y_slices[i]
+                    mu, scale, mut, mean_support = self._prog_slice(
+                        i, latent_means, latent_scales, y_hat_base, mu_total, std_total, prog_slices
+                    )
+                    std_total.append(scale if cfg.support_std else mut)
+                    mu_total.append(mut)
+                    mu, scale = self._refine_prog_params(
+                        i, q, mu, scale, mu_base_list[i], std_base_list[i],
+                        y_hat_base[i], training, mask_pol,
+                    )
 
-            y_hat_enh = jnp.concatenate(prog_slices, axis=-1)
+                    mask = self._mask_for(scale, q, mask_pol, i, y_hat_base[i])
+                    mask = apply_mask_noise(mask, training and "learnable" in mask_pol)
+
+                    y_m = (y_slice - mu) * mask
+                    _, lik = gaussian_forward(
+                        y_m, scale * mask, None, training=training,
+                        rng=next(rng_i) if training else None,
+                    )
+                    lik_q.append(lik)
+                    y_hat_slice = ste_round(y_slice - mu) * mask + mu
+                    if cfg.residual_before_lrp:
+                        y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
+                    y_hat_slice = y_hat_slice + self._prog_lrp(i, mean_support, y_hat_slice)
+                    if not cfg.residual_before_lrp:
+                        y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
+                    prog_slices.append(y_hat_slice)
+
+                y_hat_enh = jnp.concatenate(prog_slices, axis=-1)
             x_hat_q = self._apply_refine(self.g_s[1](y_hat_enh), 1)
             x_hats.append(x_hat_q)
             # the per-quality stream codes base + enhancement (step.py bpp accounting)
@@ -352,45 +465,76 @@ class ChannelProgressiveWACNN(nn.Module):
                 "x_hat": x_hat,
                 "likelihoods": {"y": jnp.concatenate(y_lik, axis=-1), "z": z_lik},
                 "y_hat": y_hat,
+                "mu": jnp.concatenate(mu_base_list, axis=-1),
+                "std": jnp.concatenate(std_base_list, axis=-1),
             }
 
-        prog_slices = []
-        mu_total, std_total = [], []
-        for i in range(cfg.num_prog_slices):
-            y_slice = y_slices[cfg.ns0 + i]
-            if cfg.delta_encode:
-                y_slice = y_slice - y_slices[i]
-            mu, scale, mut, mean_support = self._prog_slice(
-                i, latent_means, latent_scales, y_hat_base, mu_total, std_total, prog_slices
+        if self._use_stacked_prog():
+            y_prog = self._stack_y_prog(y_slices)
+            mu_st, scale_st, mean_support, base_stack = self._prog_params_stacked(
+                latent_means, latent_scales, y_hat_base
             )
-            std_total.append(scale if cfg.support_std else mut)
-            mu_total.append(mut)
-            mu, scale = self._refine_prog_params(
-                i, quality, mu, scale, mu_base_list[i], std_base_list[i],
-                y_hat_base[i], training, mask_pol,
-            )
-            mask = channel_mask(
-                scale, pr=quality, mask_pol=mask_pol, slice_index=i,
+            mu_prog_cat = self._unstack_channels(mu_st)
+            std_prog_cat = self._unstack_channels(scale_st)
+            mask = stacked_channel_mask(
+                scale_st, pr=quality, mask_pol=mask_pol or "point-based-std",
                 dim_chunk=cfg.dim_chunk, division_channel=cfg.division_channel,
             )
             mask = apply_mask_noise(mask, False)
-            y_m = (y_slice - mu) * mask
-            _, lik = gaussian_forward(y_m, scale * mask, None, training=training, rng=rng)
-            y_lik.append(lik)
-            y_hat_slice = ste_round(y_slice - mu) * mask + mu
+            y_m = (y_prog - mu_st) * mask
+            _, lik_stack = gaussian_forward(y_m, scale_st * mask, None, training=training, rng=rng)
+            y_lik.append(self._unstack_channels(lik_stack))
+            y_hat_stack = ste_round(y_prog - mu_st) * mask + mu_st
             if cfg.residual_before_lrp:
-                y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
-            y_hat_slice = y_hat_slice + self._prog_lrp(i, mean_support, y_hat_slice)
+                y_hat_stack = y_hat_stack + base_stack
+            lrp_support = jnp.concatenate([mean_support, y_hat_stack], axis=-1)
+            y_hat_stack = y_hat_stack + 0.5 * jnp.tanh(self.lrp_prog(lrp_support))
             if not cfg.residual_before_lrp:
-                y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
-            prog_slices.append(y_hat_slice)
-
-        y_hat_p = jnp.concatenate(prog_slices, axis=-1)
+                y_hat_stack = y_hat_stack + base_stack
+            y_hat_p = self._unstack_channels(y_hat_stack)
+        else:
+            prog_slices = []
+            mu_total, std_total = [], []
+            mu_prog_list, std_prog_list = [], []
+            for i in range(cfg.num_prog_slices):
+                y_slice = y_slices[cfg.ns0 + i]
+                if cfg.delta_encode:
+                    y_slice = y_slice - y_slices[i]
+                mu, scale, mut, mean_support = self._prog_slice(
+                    i, latent_means, latent_scales, y_hat_base, mu_total, std_total, prog_slices
+                )
+                std_total.append(scale if cfg.support_std else mut)
+                mu_total.append(mut)
+                mu_prog_list.append(mu)
+                std_prog_list.append(scale)
+                mu, scale = self._refine_prog_params(
+                    i, quality, mu, scale, mu_base_list[i], std_base_list[i],
+                    y_hat_base[i], training, mask_pol,
+                )
+                mask = self._mask_for(scale, quality, mask_pol, i, y_hat_base[i])
+                mask = apply_mask_noise(mask, False)
+                y_m = (y_slice - mu) * mask
+                _, lik = gaussian_forward(y_m, scale * mask, None, training=training, rng=rng)
+                y_lik.append(lik)
+                y_hat_slice = ste_round(y_slice - mu) * mask + mu
+                if cfg.residual_before_lrp:
+                    y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
+                y_hat_slice = y_hat_slice + self._prog_lrp(i, mean_support, y_hat_slice)
+                if not cfg.residual_before_lrp:
+                    y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
+                prog_slices.append(y_hat_slice)
+            mu_prog_cat = jnp.concatenate(mu_prog_list, axis=-1)
+            std_prog_cat = jnp.concatenate(std_prog_list, axis=-1)
+            y_hat_p = jnp.concatenate(prog_slices, axis=-1)
         x_hat = jnp.clip(self._apply_refine(self.g_s[1](y_hat_p), 1), 0.0, 1.0)
         return {
             "x_hat": x_hat,
             "likelihoods": {"y": jnp.concatenate(y_lik, axis=-1), "z": z_lik},
             "y_hat": y_hat_p,
+            "mu": mu_prog_cat,
+            "std": std_prog_cat,
+            "mu_base": jnp.concatenate(mu_base_list, axis=-1),
+            "std_base": jnp.concatenate(std_base_list, axis=-1),
         }
 
     # ------------------------------------------------------------------
@@ -453,39 +597,61 @@ class ChannelProgressiveWACNN(nn.Module):
             y_hat_base.append(y_hat_slice)
 
         if quality > 0:
-            prog_slices = []
-            mu_total, std_total = [], []
-            for i in range(cfg.num_prog_slices):
-                y_slice = y_slices[cfg.ns0 + i]
-                if cfg.delta_encode:
-                    y_slice = y_slice - y_slices[i]
-                mu, scale, mut, mean_support = self._prog_slice(
-                    i, latent_means, latent_scales, y_hat_base, mu_total, std_total, prog_slices
+            if self._use_stacked_prog():
+                y_prog = self._stack_y_prog(y_slices)
+                mu_st, scale_st, mean_support, base_stack = self._prog_params_stacked(
+                    latent_means, latent_scales, y_hat_base
                 )
-                std_total.append(scale if cfg.support_std else mut)
-                mu_total.append(mut)
-                mu, scale = self._refine_prog_params(
-                    i, quality, mu, scale, mu_base_list[i], std_base_list[i],
-                    y_hat_base[i], False, mask_pol,
-                )
-                mask = channel_mask(
-                    scale, pr=quality, mask_pol=mask_pol, slice_index=i,
+                mask = stacked_channel_mask(
+                    scale_st, pr=quality, mask_pol=mask_pol or "point-based-std",
                     dim_chunk=cfg.dim_chunk, division_channel=cfg.division_channel,
                 )
                 keep = jnp.round(mask) > 0.5
-                index = self._gauss_indexes(scale)
-                sym = jnp.round(((y_slice - mu) * mask).astype(jnp.float32)).astype(jnp.int32)
+                index = self._gauss_indexes(scale_st)
+                sym = jnp.round(((y_prog - mu_st) * mask).astype(jnp.float32)).astype(jnp.int32)
                 stages.append(
                     (sym.reshape(-1), (index + gauss_row0).reshape(-1), keep.reshape(-1))
                 )
                 y_q = self._clamped_dequant(sym, index, t, gauss_row0).astype(jnp.float32)
-                y_hat_slice = jnp.where(keep, y_q, 0.0) + mu
+                y_hat_stack = jnp.where(keep, y_q, 0.0) + mu_st
                 if cfg.residual_before_lrp:
-                    y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
-                y_hat_slice = y_hat_slice + self._prog_lrp(i, mean_support, y_hat_slice)
+                    y_hat_stack = y_hat_stack + base_stack
+                lrp_support = jnp.concatenate([mean_support, y_hat_stack], axis=-1)
+                y_hat_stack = y_hat_stack + 0.5 * jnp.tanh(self.lrp_prog(lrp_support))
                 if not cfg.residual_before_lrp:
-                    y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
-                prog_slices.append(y_hat_slice)
+                    y_hat_stack = y_hat_stack + base_stack
+                prog_slices = [y_hat_stack[i] for i in range(cfg.num_prog_slices)]
+            else:
+                prog_slices = []
+                mu_total, std_total = [], []
+                for i in range(cfg.num_prog_slices):
+                    y_slice = y_slices[cfg.ns0 + i]
+                    if cfg.delta_encode:
+                        y_slice = y_slice - y_slices[i]
+                    mu, scale, mut, mean_support = self._prog_slice(
+                        i, latent_means, latent_scales, y_hat_base, mu_total, std_total, prog_slices
+                    )
+                    std_total.append(scale if cfg.support_std else mut)
+                    mu_total.append(mut)
+                    mu, scale = self._refine_prog_params(
+                        i, quality, mu, scale, mu_base_list[i], std_base_list[i],
+                        y_hat_base[i], False, mask_pol,
+                    )
+                    mask = self._mask_for(scale, quality, mask_pol, i, y_hat_base[i])
+                    keep = jnp.round(mask) > 0.5
+                    index = self._gauss_indexes(scale)
+                    sym = jnp.round(((y_slice - mu) * mask).astype(jnp.float32)).astype(jnp.int32)
+                    stages.append(
+                        (sym.reshape(-1), (index + gauss_row0).reshape(-1), keep.reshape(-1))
+                    )
+                    y_q = self._clamped_dequant(sym, index, t, gauss_row0).astype(jnp.float32)
+                    y_hat_slice = jnp.where(keep, y_q, 0.0) + mu
+                    if cfg.residual_before_lrp:
+                        y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
+                    y_hat_slice = y_hat_slice + self._prog_lrp(i, mean_support, y_hat_slice)
+                    if not cfg.residual_before_lrp:
+                        y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
+                    prog_slices.append(y_hat_slice)
 
         stream, n_words = rans_device.encode_stages(stages, t, lanes)
         out = {"stream": stream, "n_words": n_words, "z_shape": (hz, wz)}
@@ -564,36 +730,57 @@ class ChannelProgressiveWACNN(nn.Module):
             x_hat = jnp.clip(self._apply_refine(self.g_s[0](y_hat), 0), 0.0, 1.0)
             return {"x_hat": x_hat, "stream_ok": rans_device.stream_ok(dec)}
 
-        prog_slices = []
-        mu_total, std_total = [], []
-        for i in range(cfg.num_prog_slices):
-            mu, scale, mut, mean_support = self._prog_slice(
-                i, latent_means, latent_scales, y_hat_base, mu_total, std_total, prog_slices
+        if self._use_stacked_prog():
+            mu_st, scale_st, mean_support, base_stack = self._prog_params_stacked(
+                latent_means, latent_scales, y_hat_base
             )
-            std_total.append(scale if cfg.support_std else mut)
-            mu_total.append(mut)
-            mu, scale = self._refine_prog_params(
-                i, quality, mu, scale, mu_base_list[i], std_base_list[i],
-                y_hat_base[i], False, mask_pol,
-            )
-            mask = channel_mask(
-                scale, pr=quality, mask_pol=mask_pol, slice_index=i,
+            mask = stacked_channel_mask(
+                scale_st, pr=quality, mask_pol=mask_pol or "point-based-std",
                 dim_chunk=cfg.dim_chunk, division_channel=cfg.division_channel,
             )
             keep = jnp.round(mask) > 0.5
-            index = self._gauss_indexes(scale)
+            index = self._gauss_indexes(scale_st)
             dec, vals = rans_device.decode_stage(
                 dec, stream, (index + gauss_row0).reshape(-1), keep.reshape(-1), t, lanes
             )
-            y_hat_slice = jnp.where(keep, vals.reshape(mu.shape).astype(jnp.float32), 0.0) + mu
+            y_hat_stack = (
+                jnp.where(keep, vals.reshape(mu_st.shape).astype(jnp.float32), 0.0) + mu_st
+            )
             if cfg.residual_before_lrp:
-                y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
-            y_hat_slice = y_hat_slice + self._prog_lrp(i, mean_support, y_hat_slice)
+                y_hat_stack = y_hat_stack + base_stack
+            lrp_support = jnp.concatenate([mean_support, y_hat_stack], axis=-1)
+            y_hat_stack = y_hat_stack + 0.5 * jnp.tanh(self.lrp_prog(lrp_support))
             if not cfg.residual_before_lrp:
-                y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
-            prog_slices.append(y_hat_slice)
+                y_hat_stack = y_hat_stack + base_stack
+            y_hat_p = self._unstack_channels(y_hat_stack)
+        else:
+            prog_slices = []
+            mu_total, std_total = [], []
+            for i in range(cfg.num_prog_slices):
+                mu, scale, mut, mean_support = self._prog_slice(
+                    i, latent_means, latent_scales, y_hat_base, mu_total, std_total, prog_slices
+                )
+                std_total.append(scale if cfg.support_std else mut)
+                mu_total.append(mut)
+                mu, scale = self._refine_prog_params(
+                    i, quality, mu, scale, mu_base_list[i], std_base_list[i],
+                    y_hat_base[i], False, mask_pol,
+                )
+                mask = self._mask_for(scale, quality, mask_pol, i, y_hat_base[i])
+                keep = jnp.round(mask) > 0.5
+                index = self._gauss_indexes(scale)
+                dec, vals = rans_device.decode_stage(
+                    dec, stream, (index + gauss_row0).reshape(-1), keep.reshape(-1), t, lanes
+                )
+                y_hat_slice = jnp.where(keep, vals.reshape(mu.shape).astype(jnp.float32), 0.0) + mu
+                if cfg.residual_before_lrp:
+                    y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
+                y_hat_slice = y_hat_slice + self._prog_lrp(i, mean_support, y_hat_slice)
+                if not cfg.residual_before_lrp:
+                    y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
+                prog_slices.append(y_hat_slice)
 
-        y_hat_p = jnp.concatenate(prog_slices, axis=-1)
+            y_hat_p = jnp.concatenate(prog_slices, axis=-1)
         x_hat = jnp.clip(self._apply_refine(self.g_s[1](y_hat_p), 1), 0.0, 1.0)
         return {"x_hat": x_hat, "stream_ok": rans_device.stream_ok(dec)}
 

@@ -109,6 +109,11 @@ class PostRateProcessedNetwork(ChannelProgressiveWACNN):
     mu_std: bool = False
     dimension: str = "big"
 
+    def _use_stacked_prog(self) -> bool:
+        # the per-interval refinement banks index slices individually;
+        # keep the unrolled path for the REM variant
+        return False
+
     @staticmethod
     def init_qualities(cfg) -> list:
         """One quality per checkpoint interval (plus base)."""

@@ -187,6 +187,8 @@ def import_progressive(sd: Mapping, cfg) -> dict:
     if cfg.joiner_policy in ("cond", "channel_cond", "channel_res"):
         for i in range(cfg.ns0):
             params.setdefault("joiner" + str(i), _conv_stack3_joiner(sd, f"joiner.{i}."))
+    if uses_stacked_prog(cfg):
+        params = stack_prog_params(params)
     return params
 
 
@@ -194,11 +196,63 @@ def _conv_stack3_joiner(sd, p):
     return {f"conv{i}": _plain_conv(sd, f"{p}{2 * i}.") for i in range(3)}
 
 
+PROG_BANKS = ("cc_mean_prog", "cc_scale_prog", "lrp_prog")
+
+
+def uses_stacked_prog(cfg) -> bool:
+    """Mirror of ChannelProgressiveWACNN._use_stacked_prog for importers."""
+    return (
+        getattr(cfg, "stack_prog", True)
+        and cfg.support_progressive_slices == 0
+        and not cfg.all_scalable
+        and cfg.joiner_policy == "res"
+        and "learnable" not in cfg.mask_policy
+        and cfg.name != "rate"
+    )
+
+
+def stack_prog_params(params: dict) -> dict:
+    """Convert unrolled prog banks ({s0..sN} subtrees) to the stacked
+    (vmapped) layout: each leaf gains a leading slice dim."""
+    out = dict(params)
+    for bank in PROG_BANKS:
+        slices = params[bank]
+        keys = sorted(slices.keys(), key=lambda k: int(k[1:]))
+        first = slices[keys[0]]
+        stacked = {}
+        for conv_name in first:
+            stacked[conv_name] = {
+                pn: np.stack([np.asarray(slices[k][conv_name][pn]) for k in keys])
+                for pn in first[conv_name]
+            }
+        out[bank] = stacked
+    return out
+
+
+def unstack_prog_params(params: dict) -> dict:
+    """Inverse of :func:`stack_prog_params`."""
+    out = dict(params)
+    for bank in PROG_BANKS:
+        node = params[bank]
+        any_leaf = next(iter(next(iter(node.values())).values()))
+        n = np.asarray(any_leaf).shape[0]
+        out[bank] = {
+            f"s{i}": {
+                conv: {pn: np.asarray(v)[i] for pn, v in leaves.items()}
+                for conv, leaves in node.items()
+            }
+            for i in range(n)
+        }
+    return out
+
+
 def export_progressive(params: dict, cfg) -> dict:
     """Inverse of :func:`import_progressive` — our params tree -> a
     reference-named state dict (torch orientations).  Used for round-trip
     validation of the mapping and for exporting trained weights back to
     the reference ecosystem."""
+    if uses_stacked_prog(cfg):
+        params = unstack_prog_params(params)
     sd: dict = {}
 
     def inv_conv(w):  # HWIO -> OIHW

@@ -27,8 +27,10 @@ class TrainState(NamedTuple):
 
 
 def init_train_state(model, rng, train_cfg: TrainConfig, sample_shape=(1, 256, 256, 3)):
-    variables = model.init(
-        {"params": rng}, jnp.zeros(sample_shape), training=False
+    # jit the init: flax init otherwise dispatches each op eagerly, which
+    # is pathological on remote-compile backends
+    variables = jax.jit(lambda r, x: model.init({"params": r}, x, training=False))(
+        rng, jnp.zeros(sample_shape)
     )
     params = variables["params"]
     tx = make_optimizer(train_cfg.lr, train_cfg.aux_lr, train_cfg.clip_max_norm)

@@ -112,3 +112,36 @@ def test_container_serialization(tiny_model):
     assert back["quality"] == data["quality"]
     out = codec.decompress(back)
     assert bool(out["stream_ok"])
+
+
+def test_stacked_matches_unrolled():
+    """The vectorized enhancement layer must equal the per-slice loop
+    numerically (same params, converted between layouts)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from progressivecodec_tpu.models.torch_import import unstack_prog_params
+
+    cfg_s = TINY
+    cfg_u = dataclasses.replace(TINY, stack_prog=False)
+    model_s = ChannelProgressiveWACNN(cfg=cfg_s)
+    model_u = ChannelProgressiveWACNN(cfg=cfg_u)
+    x = jax.random.uniform(jax.random.PRNGKey(9), (1, 64, 64, 3))
+    vs = model_s.init({"params": jax.random.PRNGKey(0)}, x, training=False)
+    params_u = unstack_prog_params(jax.tree.map(np.asarray, vs["params"]))
+    out_s = model_s.apply(
+        vs, x, 5, training=False, method=ChannelProgressiveWACNN.forward_single_quality
+    )
+    out_u = model_u.apply(
+        {"params": params_u}, x, 5, training=False,
+        method=ChannelProgressiveWACNN.forward_single_quality,
+    )
+    # vmapped vs per-slice convs reassociate float reductions; equality is
+    # algorithmic, not bitwise (each codec path is self-consistent)
+    np.testing.assert_allclose(
+        np.asarray(out_s["x_hat"]), np.asarray(out_u["x_hat"]), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s["likelihoods"]["y"]),
+        np.asarray(out_u["likelihoods"]["y"]),
+        rtol=2e-2, atol=1e-5,
+    )

@@ -110,16 +110,18 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 def test_torch_import_export_roundtrip():
+    import dataclasses
     from progressivecodec_tpu.models.torch_import import (
         export_progressive,
         import_progressive,
     )
 
-    model = ChannelProgressiveWACNN(cfg=TINY)
+    cfg_unrolled = dataclasses.replace(TINY, stack_prog=False)
+    model = ChannelProgressiveWACNN(cfg=cfg_unrolled)
     variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3)), training=False)
     params = jax.tree.map(np.asarray, variables["params"])
-    sd = export_progressive(params, TINY)
-    back = import_progressive(sd, TINY)
+    sd = export_progressive(params, cfg_unrolled)
+    back = import_progressive(sd, cfg_unrolled)
 
     flat_a = dict(jax.tree_util.tree_leaves_with_path(params))
     flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
