@@ -27,7 +27,7 @@ def main():
     enable_compilation_cache()
     from progressivecodec_tpu.config import ModelConfig
     from progressivecodec_tpu.models.progressive import ChannelProgressiveWACNN
-    from progressivecodec_tpu.models.codec import Codec
+    from progressivecodec_tpu.models.codec_granular import make_codec
 
     cfg = ModelConfig()
     model = ChannelProgressiveWACNN(cfg=cfg)
@@ -37,7 +37,7 @@ def main():
         lambda r, xx: model.init({"params": r}, xx, training=False)
     )(jax.random.PRNGKey(0), x[:, :64, :64])
 
-    codec = Codec(model, variables, lanes=512)
+    codec = make_codec(model, variables, lanes=512)
     codec.update()
 
     quality = 10.0

@@ -20,7 +20,7 @@ from progressivecodec_tpu import config as config_lib
 from progressivecodec_tpu.config import ModelConfig, TrainConfig
 from progressivecodec_tpu.data.datasets import KodakDataset, SyntheticDataset
 from progressivecodec_tpu.models.registry import get_model
-from progressivecodec_tpu.models.codec import Codec
+from progressivecodec_tpu.models.codec_granular import make_codec
 from progressivecodec_tpu.training.checkpoint import load_checkpoint
 from progressivecodec_tpu.training.evaluate import evaluate_codec, entropy_estimate_eval
 from progressivecodec_tpu.training.step import init_train_state
@@ -68,7 +68,7 @@ def main(argv=None):
     if args.max_images:
         images = images[: args.max_images]
 
-    codec = Codec(model, variables)
+    codec = make_codec(model, variables)
     codec.update()
     real = evaluate_codec(codec, images, pr_list=pr_list, mask_pol=args.mask_pol)
     est = entropy_estimate_eval(codec, images, pr_list=pr_list, mask_pol=args.mask_pol)

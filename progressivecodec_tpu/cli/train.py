@@ -31,7 +31,7 @@ from progressivecodec_tpu.data.datasets import (
     SyntheticDataset,
 )
 from progressivecodec_tpu.models.registry import get_model
-from progressivecodec_tpu.models.codec import Codec
+from progressivecodec_tpu.models.codec_granular import make_codec
 from progressivecodec_tpu.training.checkpoint import save_checkpoint, load_checkpoint
 from progressivecodec_tpu.training.evaluate import evaluate_codec, entropy_estimate_eval
 from progressivecodec_tpu.training.optim import plateau_init, plateau_update
@@ -118,7 +118,7 @@ def main(argv=None):
         _log(args.out, {"epoch": epoch, "train_loss": train_loss, "time_s": time.time() - t0})
 
         # entropy-estimate validation at the quality ladder
-        codec = Codec(model, {"params": state.params})
+        codec = make_codec(model, {"params": state.params})
         val = entropy_estimate_eval(codec, test_imgs[:4], pr_list=(0.0, 10.0))
         _log(args.out, {"epoch": epoch, "valid": val})
         plateau = plateau_update(

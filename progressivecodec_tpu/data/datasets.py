@@ -158,6 +158,46 @@ class PatchLoader:
             t.join()
 
 
+class ImportanceMapDataset:
+    """Pairs (image, gradient importance map) for MaskEstractor training.
+
+    Behavioral spec: MaskImageFolder / MaskTestKodakDataset
+    (/root/reference/src/compress/datasets/utils.py:81-230, 236-346) run
+    the codec + backprop inside __getitem__; here the map comes from the
+    jitted layers.importance.importance_map (one grad, no Variable
+    machinery) and is computed lazily per image.
+    """
+
+    def __init__(self, base_dataset, model, variables, scale_table, patch_size: int = 256, seed: int = 0):
+        self.base = base_dataset
+        self.model = model
+        self.variables = variables
+        self.scale_table = scale_table
+        self.patch_size = patch_size
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, i: int):
+        import jax
+        import jax.numpy as jnp
+
+        from progressivecodec_tpu.layers.importance import importance_map
+        from progressivecodec_tpu.ops.conv import pad_image
+
+        img = self.base[i]
+        rng = np.random.default_rng(self.seed + i)
+        patch = random_crop(img, self.patch_size, rng)
+        x = jnp.asarray(patch, jnp.float32)[None]
+        x_pad, _ = pad_image(x, 64)
+        imap = importance_map(
+            self.model, self.variables, x_pad, jax.random.PRNGKey(self.seed + i),
+            self.scale_table,
+        )
+        return patch, np.asarray(imap[0])
+
+
 class SyntheticDataset:
     """Deterministic random images — lets training/benchmarks run in
     environments without a dataset on disk."""

@@ -44,9 +44,9 @@ class WACNN(nn.Module):
         self.h_a = HyperAnalysis(N=n, name="h_a")
         self.h_mean_s = HyperSynthesis(out=m, name="h_mean_s")
         self.h_scale_s = HyperSynthesis(out=m, name="h_scale_s")
-        self.cc_mean = SliceTransforms(self.num_slices, name="cc_mean")
-        self.cc_scale = SliceTransforms(self.num_slices, name="cc_scale")
-        self.lrp = SliceTransforms(self.num_slices, name="lrp")
+        self.cc_mean = SliceTransforms(self.num_slices, out=cfg.dim_chunk, name="cc_mean")
+        self.cc_scale = SliceTransforms(self.num_slices, out=cfg.dim_chunk, name="cc_scale")
+        self.lrp = SliceTransforms(self.num_slices, out=cfg.dim_chunk, name="lrp")
         self.entropy_bottleneck = EntropyBottleneck(channels=n, name="entropy_bottleneck")
 
     # ---- granular pieces (also used by the codec orchestrators) ----

@@ -76,6 +76,71 @@ def latent_loss(y_hat: jax.Array, y_ref: jax.Array) -> dict:
     return {"loss": loss}
 
 
+def _kd_terms(output: dict, target: jax.Array, teacher_enh, teacher_base=None) -> dict:
+    """Latent knowledge-distillation MSE terms vs frozen teacher encoders
+    (loss.py:163-181).  `teacher_*` are callables target -> latent."""
+    out = {}
+    y_hat = output["y_hat"]
+    y_enh = y_hat[1] if isinstance(y_hat, (list, tuple)) else y_hat
+    out["kd_enh"] = jnp.mean((y_enh - teacher_enh(target)) ** 2)
+    if teacher_base is not None:
+        y_base = y_hat[0] if isinstance(y_hat, (list, tuple)) else output["y_base"]
+        out["kd_base"] = jnp.mean((y_base - teacher_base(target)) ** 2)
+    return out
+
+
+def scalable_distilled_rate_distortion_loss(
+    output: dict,
+    target: jax.Array,
+    lmbda_list,
+    teacher_enh,
+    teacher_base=None,
+    gamma: float = 0.5,
+) -> dict:
+    """RD loss + latent distillation (loss.py:140-232): the scalable RD
+    objective plus gamma-weighted teacher-latent MSE terms."""
+    out = scalable_rate_distortion_loss(output, target, lmbda_list)
+    kd = _kd_terms(output, target, teacher_enh, teacher_base)
+    out.update(kd)
+    lm = jnp.asarray(lmbda_list, jnp.float32)
+    loss = out["loss"] + kd["kd_enh"] * (lm[-1] * gamma)
+    if teacher_base is not None:
+        loss = loss + kd["kd_base"] * (lm[0] * gamma)
+    out["loss"] = loss
+    return out
+
+
+def distilled_rate_loss(
+    output: dict, target: jax.Array, lmbda_list, teacher_enh
+) -> dict:
+    """Rate + distillation only (loss.py:237-316)."""
+    out = scalable_rate_distortion_loss(output, target, lmbda_list)
+    kd = _kd_terms(output, target, teacher_enh)
+    lm = jnp.asarray(lmbda_list, jnp.float32)
+    out.update(kd)
+    out["loss"] = out["bpp_loss"] + (255.0**2) * lm[-1] * kd["kd_enh"]
+    return out
+
+
+def scalable_distilled_distortion_loss(
+    output: dict,
+    target: jax.Array,
+    lmbda_list,
+    teacher_enh,
+    teacher_base=None,
+    gamma: float = 0.5,
+) -> dict:
+    """gamma * RD + (1-gamma) * distillation (loss.py:320-405)."""
+    out = scalable_rate_distortion_loss(output, target, lmbda_list)
+    kd = _kd_terms(output, target, teacher_enh, teacher_base)
+    out.update(kd)
+    if teacher_base is not None:
+        out["loss"] = gamma * out["loss"] + (1 - gamma) * (kd["kd_enh"] + kd["kd_base"])
+    else:
+        out["loss"] = gamma * out["loss"] + (1 - gamma) * kd["kd_enh"]
+    return out
+
+
 def rate_loss(output: dict, target_shape, levels: int) -> dict:
     """Rate-only objective (loss.py:527-567)."""
     b, h, w = target_shape[0], target_shape[1], target_shape[2]

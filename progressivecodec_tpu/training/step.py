@@ -79,6 +79,28 @@ def _apply_with_aux(model, params, batch, quality, mask_pol, rng):
     return model.apply({"params": params}, method=run)
 
 
+def make_sampled_train_step(
+    model, tx, qualities=(1, 2, 3, 4, 5, 6, 7, 8, 9, 10), mask_pol: str | None = None
+):
+    """Sampled single-quality training (step.py:55-62): each batch trains
+    at one quality drawn from a fixed ladder.  Quality is static under
+    jit, so one specialization per ladder entry is pre-built and the host
+    picks per batch."""
+    import numpy as np
+
+    steps = {
+        q: jax.jit(make_train_step(model, tx, quality=(0, q), mask_pol=mask_pol))
+        for q in qualities
+    }
+    host_rng = np.random.default_rng(0)
+
+    def step(state, batch, rng):
+        q = qualities[int(host_rng.integers(0, len(qualities)))]
+        return steps[q](state, batch, rng)
+
+    return step
+
+
 def make_eval_step(model, quality: float, mask_pol: str | None = None) -> Callable:
     """Entropy-estimated eval at one quality (step.py:153-212): returns
     bpp estimate, PSNR, MSE on a batch."""

@@ -1,0 +1,57 @@
+"""Granular codec: byte-identical streams vs the monolithic codec, exact
+round trips (the shared-executable determinism design)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from progressivecodec_tpu.config import ModelConfig, ScaleTableConfig
+from progressivecodec_tpu.models.progressive import ChannelProgressiveWACNN
+from progressivecodec_tpu.models.codec import Codec
+from progressivecodec_tpu.models.codec_granular import GranularCodec
+
+TINY = ModelConfig(
+    name="channel", N=32, M=64, dim_chunk=8, division_dimension=(32, 64),
+    scale_table=ScaleTableConfig(levels=32),
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = ChannelProgressiveWACNN(cfg=TINY)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(lambda r, xx: model.init({"params": r}, xx, training=False))(
+        jax.random.PRNGKey(0), x
+    )
+    return model, variables
+
+
+def test_granular_roundtrip(setup):
+    model, variables = setup
+    codec = GranularCodec(model, variables, lanes=64)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    for q in [0, 2, 10]:
+        data = codec.compress(x, quality=q, simulate=True)
+        out = codec.decompress(data)
+        assert bool(out["stream_ok"]), f"q={q}"
+        np.testing.assert_allclose(
+            np.asarray(out["x_hat"]), np.asarray(data["x_hat"]), atol=1e-5
+        )
+
+
+def test_granular_matches_monolithic_stream(setup):
+    """Same wire format: the granular and monolithic codecs must produce
+    byte-identical streams (CPU backend is deterministic across both)."""
+    model, variables = setup
+    mono = Codec(model, variables, lanes=64)
+    gran = GranularCodec(model, variables, lanes=64)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    for q in [0, 5]:
+        d_m = mono.compress(x, quality=q)
+        d_g = gran.compress(x, quality=q)
+        assert d_m["num_bytes"] == d_g["num_bytes"], f"q={q}"
+        np.testing.assert_array_equal(d_m["stream"], d_g["stream"])
+        # cross-decode: monolithic decodes the granular stream
+        out = mono.decompress(d_g)
+        assert bool(out["stream_ok"])
