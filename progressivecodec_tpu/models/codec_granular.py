@@ -274,7 +274,8 @@ class GranularCodec(Codec):
 
     # ---------- public API ----------
 
-    def compress(self, x, quality: float = 0.0, mask_pol: str | None = None, simulate: bool = False):
+    def compress(self, x, quality: float = 0.0, mask_pol: str | None = None,
+                 simulate: bool = False, to_host: bool = True):
         cfg = self.cfg
         p = self.p
         mask_pol = mask_pol or cfg.mask_policy
@@ -316,16 +317,28 @@ class GranularCodec(Codec):
                 )
 
         stream, n_words = self._J_encode(stages)
-        n_words = int(n_words)
         hz, wz = z.shape[1], z.shape[2]
-        result = {
-            "stream": np.asarray(stream[:n_words]),
-            "z_shape": (hz, wz),
-            "batch": int(x.shape[0]),
-            "quality": float(quality),
-            "mask_pol": mask_pol,
-            "num_bytes": 2 * n_words,
-        }
+        if to_host:
+            n_words = int(n_words)
+            result = {
+                "stream": np.asarray(stream[:n_words]),
+                "z_shape": (hz, wz),
+                "batch": int(x.shape[0]),
+                "quality": float(quality),
+                "mask_pol": mask_pol,
+                "num_bytes": 2 * n_words,
+            }
+        else:
+            # device-resident container: no host sync — lets a caller
+            # pipeline many images' encode+decode as pure async dispatch
+            result = {
+                "stream_dev": stream,
+                "n_words_dev": n_words,
+                "z_shape": (hz, wz),
+                "batch": int(x.shape[0]),
+                "quality": float(quality),
+                "mask_pol": mask_pol,
+            }
         if simulate:
             if quality > 0:
                 y_hat = self._unstack(y_hat_st)
@@ -343,10 +356,13 @@ class GranularCodec(Codec):
         mask_pol = data["mask_pol"] or cfg.mask_policy
         batch = data["batch"]
         hz, wz = data["z_shape"]
-        cap = _stream_capacity(batch, (hz, wz), cfg, self.lanes)
-        stream = jnp.zeros((cap,), jnp.uint16).at[: len(data["stream"])].set(
-            jnp.asarray(data["stream"])
-        )
+        if "stream_dev" in data:
+            stream = data["stream_dev"]
+        else:
+            cap = _stream_capacity(batch, (hz, wz), cfg, self.lanes)
+            stream = jnp.zeros((cap,), jnp.uint16).at[: len(data["stream"])].set(
+                jnp.asarray(data["stream"])
+            )
 
         states, offset = self._J_dec_init(stream)
 

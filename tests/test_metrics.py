@@ -1,0 +1,37 @@
+"""Metrics: PSNR exactness, MS-SSIM sanity + oracle comparison where
+pytorch_msssim-free references exist."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from progressivecodec_tpu.utils.metrics import psnr, ms_ssim, ms_ssim_db
+
+
+def test_psnr_known_value(rng):
+    a = jnp.zeros((1, 8, 8, 3))
+    b = jnp.full((1, 8, 8, 3), 0.1)
+    # mse = 0.01 -> psnr = 20 dB
+    np.testing.assert_allclose(float(psnr(a, b)), 20.0, atol=1e-4)
+
+
+def test_ms_ssim_identity(rng):
+    x = jnp.asarray(rng.random((1, 192, 192, 3)).astype(np.float32))
+    v = float(ms_ssim(x, x))
+    assert v > 0.9999
+
+
+def test_ms_ssim_orders_degradations(rng):
+    x = jnp.asarray(rng.random((1, 192, 192, 3)).astype(np.float32))
+    small = jnp.clip(x + 0.01 * jnp.asarray(rng.standard_normal(x.shape)), 0, 1)
+    big = jnp.clip(x + 0.2 * jnp.asarray(rng.standard_normal(x.shape)), 0, 1)
+    v_small = float(ms_ssim(x, small))
+    v_big = float(ms_ssim(x, big))
+    assert 1 > v_small > v_big > 0
+
+
+def test_ms_ssim_db_form(rng):
+    x = jnp.asarray(rng.random((1, 192, 192, 3)).astype(np.float32))
+    y = jnp.clip(x + 0.05 * jnp.asarray(rng.standard_normal(x.shape)), 0, 1)
+    v = float(ms_ssim(x, y))
+    db = float(ms_ssim_db(x, y))
+    np.testing.assert_allclose(db, -10 * np.log10(1 - v), rtol=1e-5)
