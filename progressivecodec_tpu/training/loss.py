@@ -76,6 +76,26 @@ def latent_loss(y_hat: jax.Array, y_ref: jax.Array) -> dict:
     return {"loss": loss}
 
 
+def mask_rate_distortion_loss(output: dict, target: jax.Array, lmbda: float) -> dict:
+    """Mask-training RD loss (loss.py:6-53): MSE of the LAST reconstruction
+    level only + scalable bpp (hyper counted once)."""
+    b, h, w, _ = target.shape
+    num_pixels = b * h * w
+    denom = -math.log(2) * num_pixels
+    x_hat = output["x_hat"]
+    last = x_hat[-1] if x_hat.ndim == target.ndim + 1 else x_hat
+    mse = jnp.mean((last - target) ** 2)
+    lik = output["likelihoods"]
+    bpp_hyper = jnp.sum(jnp.log(lik["z"])) / denom
+    if "y_prog" in lik:
+        bpp_scalable = jnp.sum(jnp.log(lik["y_prog"])) / denom
+        bpp_loss = bpp_scalable + bpp_hyper
+    else:
+        bpp_loss = jnp.sum(jnp.log(lik["y"])) / denom * 0.0 + bpp_hyper
+    loss = bpp_loss + (255.0**2) * lmbda * mse
+    return {"loss": loss, "bpp_loss": bpp_loss, "mse": mse}
+
+
 def _kd_terms(output: dict, target: jax.Array, teacher_enh, teacher_base=None) -> dict:
     """Latent knowledge-distillation MSE terms vs frozen teacher encoders
     (loss.py:163-181).  `teacher_*` are callables target -> latent."""
