@@ -27,24 +27,49 @@ _MASK16 = jnp.uint32(0xFFFF)
 
 
 class DeviceTables(NamedTuple):
-    """CoderTables as device arrays (cdf flattened for 1D gathers)."""
+    """CoderTables as device arrays, packed for one-gather-per-symbol.
 
-    cdf_flat: jax.Array  # (R*Lmax,) int32
+    enc_sf: (R*Lmax,) uint32 — start<<16 | freq, indexed by row*Lmax + sym
+    dec_sf: (R*2^16,) uint32 — start<<16 | freq, indexed by row<<16 | cum
+    dec_val: (R*2^16,) int32 — decoded value (sym + row offset), same index
+    offset/max_symbol: per-row clamp metadata (tiny)
+    """
+
+    enc_sf: jax.Array
+    dec_sf: jax.Array
+    dec_val: jax.Array
     lmax: int
     cdf_length: jax.Array  # (R,) int32
     offset: jax.Array  # (R,) int32
     max_symbol: jax.Array  # (R,) int32
-    inv_flat: jax.Array  # (R * 2^16,) int32
 
     @staticmethod
     def from_tables(t: CoderTables) -> "DeviceTables":
+        cdf = t.cdf.astype(np.int64)
+        r, lmax = cdf.shape
+        starts = cdf
+        freqs = np.zeros_like(cdf)
+        freqs[:, :-1] = cdf[:, 1:] - cdf[:, :-1]
+        enc_sf = (starts.astype(np.uint32) << 16) | (
+            freqs.astype(np.uint32) & 0xFFFF
+        )
+
+        inv = t.inverse().astype(np.int64)  # (R, 2^16) symbol index
+        d_start = np.take_along_axis(cdf, inv, axis=1)
+        d_freq = np.take_along_axis(cdf, inv + 1, axis=1) - d_start
+        dec_sf = (d_start.astype(np.uint32) << 16) | (
+            d_freq.astype(np.uint32) & 0xFFFF
+        )
+        dec_val = (inv + t.offset[:, None].astype(np.int64)).astype(np.int32)
+
         return DeviceTables(
-            cdf_flat=jnp.asarray(t.cdf.reshape(-1), jnp.int32),
-            lmax=t.cdf.shape[1],
+            enc_sf=jnp.asarray(enc_sf.reshape(-1)),
+            dec_sf=jnp.asarray(dec_sf.reshape(-1)),
+            dec_val=jnp.asarray(dec_val.reshape(-1)),
+            lmax=lmax,
             cdf_length=jnp.asarray(t.cdf_length, jnp.int32),
             offset=jnp.asarray(t.offset, jnp.int32),
             max_symbol=jnp.asarray(t.max_symbol, jnp.int32),
-            inv_flat=jnp.asarray(t.inverse().reshape(-1), jnp.int32),
         )
 
 
@@ -77,10 +102,9 @@ def encode_stage_scan(states: jax.Array, v: jax.Array, idx: jax.Array, keep: jax
 
     def step(states, inp):
         vi, ii, ki = inp
-        base = ii * t.lmax + vi
-        start = t.cdf_flat[base].astype(jnp.uint32)
-        nxt = t.cdf_flat[base + 1].astype(jnp.uint32)
-        freq = jnp.where(ki, nxt - start, jnp.uint32(1))
+        sf = t.enc_sf[ii * t.lmax + vi]
+        start = sf >> 16
+        freq = jnp.where(ki, sf & _MASK16, jnp.uint32(1))
         x_max = freq << 16
         flag = ki & (states >= x_max)
         words = (states & _MASK16).astype(jnp.uint16)
@@ -153,25 +177,28 @@ def decode_stage(
     n = indexes.shape[0]
     idx = _pad_to_grid(indexes.astype(jnp.int32), lanes)
     kp = _pad_to_grid(keep.astype(bool), lanes)
-    nwords = stream.shape[0]
+    # slack so the contiguous window read never clips at the stream tail
+    stream = jnp.concatenate([stream, jnp.zeros((lanes,), jnp.uint16)])
 
     def step(carry, inp):
         states, offset = carry
         ii, ki = inp
         cum = states & _MASK16
-        sym = t.inv_flat[(ii << 16) + cum.astype(jnp.int32)]
-        base = ii * t.lmax + sym
-        start = t.cdf_flat[base].astype(jnp.uint32)
-        freq = t.cdf_flat[base + 1].astype(jnp.uint32) - start
+        lin = (ii << 16) + cum.astype(jnp.int32)
+        sf = t.dec_sf[lin]
+        start = sf >> 16
+        freq = sf & _MASK16
         adv = freq * (states >> 16) + cum - start
         flag = ki & (adv < jnp.uint32(RANS_L))
         csum = jnp.cumsum(flag.astype(jnp.int32))
-        pos = jnp.where(flag, offset + csum - 1, 0)
-        w = stream[jnp.clip(pos, 0, nwords - 1)].astype(jnp.uint32)
+        # all words consumed this step are contiguous at `offset` — load the
+        # window once, then index within it (avoids a global gather)
+        window = jax.lax.dynamic_slice(stream, (offset,), (lanes,))
+        w = window[jnp.clip(csum - 1, 0, lanes - 1)].astype(jnp.uint32)
         adv = jnp.where(flag, (adv << 16) | w, adv)
         states = jnp.where(ki, adv, states)
         offset = offset + csum[-1]
-        vals = jnp.where(ki, sym + t.offset[ii], 0)
+        vals = jnp.where(ki, t.dec_val[lin], 0)
         return (states, offset), vals
 
     (states, offset), vals = jax.lax.scan(step, (dec.states, dec.offset), (idx, kp))

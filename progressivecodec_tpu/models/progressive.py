@@ -270,6 +270,15 @@ class ChannelProgressiveWACNN(nn.Module):
         (identity here; overridden by PostRateProcessedNetwork)."""
         return mu, scale
 
+    def _hook_anchor(self, i, y_hat_base, checkpoint_rep):
+        """y_b_hat input for the refinement hook: a cascaded checkpoint
+        representation when provided (CHProgREM.py:337-372, 541, 613),
+        else the decoded base slice."""
+        if checkpoint_rep is None:
+            return y_hat_base[i]
+        dc = self.cfg.dim_chunk
+        return checkpoint_rep[..., i * dc : (i + 1) * dc]
+
     def _mask_for(self, scale, pr, mask_pol, i, y_base_slice=None):
         """Mask dispatch: parametric policies (conv importance maps,
         masking.py:110-123, 248-259) use the module bank; the rest are the
@@ -311,6 +320,7 @@ class ChannelProgressiveWACNN(nn.Module):
         *,
         training: bool = True,
         rng=None,
+        checkpoint_rep=None,
     ) -> dict[str, Any]:
         cfg = self.cfg
         mask_pol = mask_pol or cfg.mask_policy
@@ -390,7 +400,7 @@ class ChannelProgressiveWACNN(nn.Module):
                     mu_total.append(mut)
                     mu, scale = self._refine_prog_params(
                         i, q, mu, scale, mu_base_list[i], std_base_list[i],
-                        y_hat_base[i], training, mask_pol,
+                        self._hook_anchor(i, y_hat_base, checkpoint_rep), training, mask_pol,
                     )
 
                     mask = self._mask_for(scale, q, mask_pol, i, y_hat_base[i])
@@ -435,7 +445,8 @@ class ChannelProgressiveWACNN(nn.Module):
     # ------------------------------------------------------------------
 
     def forward_single_quality(
-        self, x, quality: float, mask_pol: str | None = None, *, training: bool = False, rng=None
+        self, x, quality: float, mask_pol: str | None = None, *, training: bool = False,
+        rng=None, checkpoint_rep=None,
     ) -> dict[str, Any]:
         cfg = self.cfg
         mask_pol = mask_pol or cfg.mask_policy
@@ -509,7 +520,7 @@ class ChannelProgressiveWACNN(nn.Module):
                 std_prog_list.append(scale)
                 mu, scale = self._refine_prog_params(
                     i, quality, mu, scale, mu_base_list[i], std_base_list[i],
-                    y_hat_base[i], training, mask_pol,
+                    self._hook_anchor(i, y_hat_base, checkpoint_rep), training, mask_pol,
                 )
                 mask = self._mask_for(scale, quality, mask_pol, i, y_hat_base[i])
                 mask = apply_mask_noise(mask, False)

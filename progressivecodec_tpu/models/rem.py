@@ -98,6 +98,21 @@ def _interval_index(quality: float, check_levels) -> int:
     return 2
 
 
+def extract_checkpoint_representation(model, variables, x, mask_pol: str = "point-based-std"):
+    """Cascaded ("escalation") refinement: run the codec at each checkpoint
+    quality, feeding the previous level's latent as the refinement anchor
+    (CHProgREM.py:337-372).  Returns the final y_hat latent."""
+    cl = list(model.cfg.check_levels)
+    rep = None
+    for q in cl:
+        out = model.apply(
+            variables, x, float(q), mask_pol, training=False, checkpoint_rep=rep,
+            method=type(model).forward_single_quality,
+        )
+        rep = out["y_hat"]
+    return rep
+
+
 class PostRateProcessedNetwork(ChannelProgressiveWACNN):
     """Progressive model + LatentRateReduction banks ("rate").
 

@@ -74,3 +74,23 @@ def test_rem_codec_roundtrip(rem_model):
         np.testing.assert_allclose(
             np.asarray(out["x_hat"]), np.asarray(data["x_hat"]), atol=1e-5
         )
+
+
+def test_rem_escalation(rem_model):
+    from progressivecodec_tpu.models.rem import extract_checkpoint_representation
+
+    model, variables = rem_model
+    x = jax.random.uniform(jax.random.PRNGKey(5), (1, 64, 64, 3))
+    rep = extract_checkpoint_representation(model, variables, x)
+    assert rep.shape == (1, 4, 4, 32)
+    assert np.isfinite(np.asarray(rep)).all()
+    # checkpoint_rep changes the refined output at a mid quality
+    out_plain = model.apply(
+        variables, x, 1.0, training=False,
+        method=PostRateProcessedNetwork.forward_single_quality,
+    )
+    out_casc = model.apply(
+        variables, x, 1.0, training=False, checkpoint_rep=rep,
+        method=PostRateProcessedNetwork.forward_single_quality,
+    )
+    assert np.abs(np.asarray(out_plain["x_hat"] - out_casc["x_hat"])).max() > 0
