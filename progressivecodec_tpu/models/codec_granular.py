@@ -276,12 +276,22 @@ class GranularCodec(Codec):
 
     def compress(self, x, quality: float = 0.0, mask_pol: str | None = None,
                  simulate: bool = False, to_host: bool = True):
+        self.update()
+        y = self._J_analyze(self.p["g_a0"], self.p["g_a1"], x)
+        return self.compress_from_latent(
+            y, x.shape, quality=quality, mask_pol=mask_pol,
+            simulate=simulate, to_host=to_host,
+        )
+
+    def compress_from_latent(self, y, x_shape, quality: float = 0.0,
+                             mask_pol: str | None = None, simulate: bool = False,
+                             to_host: bool = True):
+        """Encode from a precomputed latent (e.g. tiled_analyze output)."""
         cfg = self.cfg
         p = self.p
         mask_pol = mask_pol or cfg.mask_policy
         self.update()
 
-        y = self._J_analyze(p["g_a0"], p["g_a1"], x)
         z = self._J_hyper_enc(p["h_a"], y)
         med = self._tables_medians()
         z_sym, z_idx, z_hat = self._J_zquant(z, med)
@@ -323,7 +333,7 @@ class GranularCodec(Codec):
             result = {
                 "stream": np.asarray(stream[:n_words]),
                 "z_shape": (hz, wz),
-                "batch": int(x.shape[0]),
+                "batch": int(x_shape[0]),
                 "quality": float(quality),
                 "mask_pol": mask_pol,
                 "num_bytes": 2 * n_words,
@@ -335,7 +345,7 @@ class GranularCodec(Codec):
                 "stream_dev": stream,
                 "n_words_dev": n_words,
                 "z_shape": (hz, wz),
-                "batch": int(x.shape[0]),
+                "batch": int(x_shape[0]),
                 "quality": float(quality),
                 "mask_pol": mask_pol,
             }

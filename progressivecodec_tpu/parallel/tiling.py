@@ -134,6 +134,21 @@ def tiled_analyze(model, variables, x, mesh: Mesh, *, axis: str = "model",
     return tiled_apply_transform(fn, x, mesh, halo=halo, stride=STRIDE, axis=axis)
 
 
+def tiled_compress(codec, x, mesh: Mesh, *, quality: float = 10.0,
+                   mask_pol: str | None = None, axis: str = "model"):
+    """Sharded encode of a large image (BASELINE config 4 shape).
+
+    The analysis transform — where the image-space FLOPs live — runs
+    width-tiled with halo exchange on the mesh; the latent (48x smaller
+    than the image) is then gathered and the slice/entropy pipeline runs
+    through the codec's shared executables.  Exactness: tiled_analyze is
+    bit-matched to single-chip (tested), so the stream equals the
+    single-chip stream for the same weights.
+    """
+    y = tiled_analyze(codec.model, codec.variables, x, mesh, axis=axis)
+    return codec.compress_from_latent(y, x.shape, quality=quality, mask_pol=mask_pol)
+
+
 def tiled_synthesize(model, variables, y_hat, mesh: Mesh, *, decoder_index: int = 1,
                      axis: str = "model", halo_latent: int = 16):
     """Exact tiled g_s: latent tiles + latent-space halo -> image tiles.

@@ -63,3 +63,20 @@ def test_global_quantile_mask_matches_single_chip(setup):
     with mesh:
         got = global_quantile_mask(sigma, 0.3, mesh, axis="model")
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_tiled_compress_matches_single_chip(setup):
+    """Sharded-front-end encode produces the same stream as single-chip."""
+    from progressivecodec_tpu.models.codec_granular import make_codec
+    from progressivecodec_tpu.parallel.tiling import tiled_compress
+
+    model, variables, mesh = setup
+    codec = make_codec(model, variables, lanes=64)
+    x = jax.random.uniform(jax.random.PRNGKey(7), (1, 64, 512, 3))
+    ref = codec.compress(x, quality=5)
+    with mesh:
+        got = tiled_compress(codec, x, mesh, quality=5)
+    assert got["num_bytes"] == ref["num_bytes"]
+    np.testing.assert_array_equal(got["stream"], ref["stream"])
+    out = codec.decompress(got)
+    assert bool(out["stream_ok"])
