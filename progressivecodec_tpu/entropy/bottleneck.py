@@ -11,8 +11,6 @@ batched einsum over all channels at once, likelihood math in f32.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from progressivecodec_tpu.layers.blocks import Conv
 from progressivecodec_tpu.models.rem import ResidualBlock
 
 

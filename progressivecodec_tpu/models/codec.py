@@ -11,14 +11,12 @@ from __future__ import annotations
 
 import functools
 import struct
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from progressivecodec_tpu.coder.rans_device import DeviceTables
-from progressivecodec_tpu.coder.tables import CoderTables, merge_tables, DEFAULT_LANES
+from progressivecodec_tpu.coder.tables import merge_tables, DEFAULT_LANES
 from progressivecodec_tpu.config import ModelConfig
 from progressivecodec_tpu.entropy.bottleneck import build_bottleneck_tables
 from progressivecodec_tpu.entropy.gaussian import build_gaussian_tables

@@ -29,11 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from progressivecodec_tpu.coder import rans_device
-from progressivecodec_tpu.coder.rans_device import DeviceTables, DecoderState
+from progressivecodec_tpu.coder.rans_device import DecoderState
 from progressivecodec_tpu.coder.tables import DEFAULT_LANES
-from progressivecodec_tpu.config import ModelConfig
 from progressivecodec_tpu.layers.blocks import ConvStack5
-from progressivecodec_tpu.layers.masking import stacked_channel_mask, apply_mask_noise
+from progressivecodec_tpu.layers.masking import stacked_channel_mask
 from progressivecodec_tpu.models.codec import Codec, _stream_capacity
 from progressivecodec_tpu.models.transforms import (
     AnalysisTransform,

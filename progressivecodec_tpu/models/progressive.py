@@ -33,10 +33,9 @@ import jax.numpy as jnp
 
 from progressivecodec_tpu.config import ModelConfig
 from progressivecodec_tpu.coder import rans_device
-from progressivecodec_tpu.coder.rans_device import DeviceTables, DecoderState
+from progressivecodec_tpu.coder.rans_device import DeviceTables
 from progressivecodec_tpu.entropy.bottleneck import EntropyBottleneck
 from progressivecodec_tpu.entropy.gaussian import gaussian_forward, build_indexes
-from progressivecodec_tpu.layers.blocks import ConvStack5
 from progressivecodec_tpu.layers.masking import (
     channel_mask,
     apply_mask_noise,

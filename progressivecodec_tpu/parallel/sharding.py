@@ -9,7 +9,6 @@ reference, SURVEY.md §2.9).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from progressivecodec_tpu.parallel.mesh import (
     batch_sharding,

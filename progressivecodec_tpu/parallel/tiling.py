@@ -22,11 +22,9 @@ encode is bit-identical to single-chip (SURVEY.md §5).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 HALO = 192  # input-space one-sided halo for g_a (see module docstring)
 STRIDE = 16  # total downsampling of g_a / upsampling of g_s

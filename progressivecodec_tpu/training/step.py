@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from progressivecodec_tpu.config import ModelConfig, TrainConfig
+from progressivecodec_tpu.config import TrainConfig
 from progressivecodec_tpu.training.loss import scalable_rate_distortion_loss
 from progressivecodec_tpu.training.optim import make_optimizer
 
