@@ -56,13 +56,29 @@ class GranularCodec(Codec):
     Requires the stacked enhancement layer (the flagship default config).
     """
 
-    def __init__(self, model, variables, lanes: int = DEFAULT_LANES, precision: int = 16):
+    def __init__(self, model, variables, lanes: int = DEFAULT_LANES, precision: int = 16,
+                 transform_dtype=None):
+        """transform_dtype: optional jnp.bfloat16 to run g_a/g_s in bf16.
+        Stream-semantics-safe: the analysis output only feeds the encoder's
+        symbol choice (consistent by construction) and the synthesis only
+        the reconstruction; no sigma/mask computation is affected."""
         super().__init__(model, variables, lanes, precision)
         cfg = self.cfg
         if cfg.multiple_hyperprior or not cfg.multiple_encoder:
             raise NotImplementedError("granular codec: default encoder/hyperprior only")
         p = variables["params"]
         self.p = p
+        self.transform_dtype = transform_dtype
+        if transform_dtype is not None:
+            cast = lambda tree: jax.tree.map(
+                lambda a: a.astype(transform_dtype)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32
+                else a,
+                tree,
+            )
+            self._pt = {k: cast(p[k]) for k in ("g_a0", "g_a1", "g_s0", "g_s1")}
+        else:
+            self._pt = {k: p[k] for k in ("g_a0", "g_a1", "g_s0", "g_s1")}
         dc = cfg.dim_chunk
         self._cs5 = _cs5(dc)
         self._stacked_cs5 = nn.vmap(
@@ -84,10 +100,14 @@ class GranularCodec(Codec):
 
     @functools.cached_property
     def _J_analyze(self):
+        dt = self.transform_dtype
+
         def fn(p0, p1, x):
+            if dt is not None:
+                x = x.astype(dt)
             y0 = self._g_a.apply({"params": p0}, x)
             y1 = self._g_a.apply({"params": p1}, x)
-            return jnp.concatenate([y0, y1], axis=-1)
+            return jnp.concatenate([y0, y1], axis=-1).astype(jnp.float32)
 
         return jax.jit(fn)
 
@@ -266,8 +286,13 @@ class GranularCodec(Codec):
 
     @functools.cached_property
     def _J_synth(self):
+        dt = self.transform_dtype
+
         def fn(p, y_hat, which):
-            return jnp.clip(self._g_s.apply({"params": p}, y_hat), 0.0, 1.0)
+            if dt is not None:
+                y_hat = y_hat.astype(dt)
+            x = self._g_s.apply({"params": p}, y_hat).astype(jnp.float32)
+            return jnp.clip(x, 0.0, 1.0)
 
         return jax.jit(fn, static_argnames=("which",))
 
@@ -276,7 +301,7 @@ class GranularCodec(Codec):
     def compress(self, x, quality: float = 0.0, mask_pol: str | None = None,
                  simulate: bool = False, to_host: bool = True):
         self.update()
-        y = self._J_analyze(self.p["g_a0"], self.p["g_a1"], x)
+        y = self._J_analyze(self._pt["g_a0"], self._pt["g_a1"], x)
         return self.compress_from_latent(
             y, x.shape, quality=quality, mask_pol=mask_pol,
             simulate=simulate, to_host=to_host,
@@ -351,10 +376,10 @@ class GranularCodec(Codec):
         if simulate:
             if quality > 0:
                 y_hat = self._unstack(y_hat_st)
-                result["x_hat"] = self._J_synth(p["g_s1"], y_hat, 1)
+                result["x_hat"] = self._J_synth(self._pt["g_s1"], y_hat, 1)
             else:
                 y_hat = jnp.concatenate(y_hat_base, axis=-1)
-                result["x_hat"] = self._J_synth(p["g_s0"], y_hat, 0)
+                result["x_hat"] = self._J_synth(self._pt["g_s0"], y_hat, 0)
         return result
 
     def decompress(self, data: dict) -> dict:
@@ -401,7 +426,7 @@ class GranularCodec(Codec):
 
         if quality == 0:
             y_hat = jnp.concatenate(y_hat_base, axis=-1)
-            x_hat = self._J_synth(p["g_s0"], y_hat, 0)
+            x_hat = self._J_synth(self._pt["g_s0"], y_hat, 0)
             ok = (states == jnp.uint32(1 << 16)).all()
             return {"x_hat": x_hat, "stream_ok": ok}
 
@@ -416,7 +441,7 @@ class GranularCodec(Codec):
         y_hat_st = self._J_prog_recon(
             p["lrp_prog"], ms, mu_st, vals.reshape(mu_st.shape), keep, base_stack
         )
-        x_hat = self._J_synth(p["g_s1"], self._unstack(y_hat_st), 1)
+        x_hat = self._J_synth(self._pt["g_s1"], self._unstack(y_hat_st), 1)
         ok = (states == jnp.uint32(1 << 16)).all()
         return {"x_hat": x_hat, "stream_ok": ok}
 
@@ -451,7 +476,8 @@ class GranularCodec(Codec):
         return self._med_dev
 
 
-def make_codec(model, variables, lanes: int = DEFAULT_LANES, precision: int = 16):
+def make_codec(model, variables, lanes: int = DEFAULT_LANES, precision: int = 16,
+               transform_dtype=None):
     """GranularCodec when the model/config supports it, else the
     monolithic Codec (REM, unrolled variants, WACNN)."""
     from progressivecodec_tpu.models.progressive import ChannelProgressiveWACNN
@@ -468,5 +494,5 @@ def make_codec(model, variables, lanes: int = DEFAULT_LANES, precision: int = 16
         and cfg.multiple_encoder
         and cfg.u_net_post == 0
     ):
-        return GranularCodec(model, variables, lanes, precision)
+        return GranularCodec(model, variables, lanes, precision, transform_dtype)
     return Codec(model, variables, lanes, precision)

@@ -35,3 +35,16 @@ def test_ms_ssim_db_form(rng):
     v = float(ms_ssim(x, y))
     db = float(ms_ssim_db(x, y))
     np.testing.assert_allclose(db, -10 * np.log10(1 - v), rtol=1e-5)
+
+
+def test_bd_rate_sanity():
+    from progressivecodec_tpu.utils.rd import bd_rate
+
+    bpp = np.array([0.2, 0.4, 0.6, 0.8])
+    psnr = np.array([30.0, 32.0, 34.0, 36.0])
+    # identical curves -> 0%
+    np.testing.assert_allclose(bd_rate(bpp, psnr, bpp, psnr), 0.0, atol=1e-9)
+    # curve needing half the rate at equal quality -> -50%
+    np.testing.assert_allclose(bd_rate(bpp, psnr, bpp / 2, psnr), -50.0, atol=1e-6)
+    # curve needing double the rate -> +100%
+    np.testing.assert_allclose(bd_rate(bpp, psnr, bpp * 2, psnr), 100.0, atol=1e-5)
