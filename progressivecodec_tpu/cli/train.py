@@ -53,6 +53,10 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true", help="synthetic data (smoke)")
     p.add_argument("--eval-every", type=int, default=5)
     p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument(
+        "--sampled", action="store_true",
+        help="sampled single-quality training (step.py:55-62) instead of the joint ladder",
+    )
     return p.parse_args(argv)
 
 
@@ -99,7 +103,12 @@ def main(argv=None):
         state, meta = load_checkpoint(args.checkpoint, state)
         print(f"resumed from {args.checkpoint} at step {int(state.step)}")
 
-    step_fn = jax.jit(make_train_step(model, tx, quality=(0, 10)))
+    if args.sampled:
+        from progressivecodec_tpu.training.step import make_sampled_train_step
+
+        step_fn = make_sampled_train_step(model, tx)
+    else:
+        step_fn = jax.jit(make_train_step(model, tx, quality=(0, 10)))
     loader = PatchLoader(train_ds, tcfg.batch_size, tcfg.patch_size, seed=tcfg.seed)
     plateau = plateau_init()
     best_loss = float("inf")

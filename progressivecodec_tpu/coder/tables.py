@@ -25,8 +25,8 @@ define a K-lane interleaved stream that encodes/decodes as pure SIMD ops:
     decode (consistent, so round-trips are exact); the reference instead
     uses 4-bit bypass escapes (rans_interface.cpp:137-162).  With
     tail_mass 1e-9 supports (~±6.1σ) clamping is ~1e-9-probable per
-    element.  The host C++ coder also implements the escape variant for
-    single-lane robustness testing.
+    element.  All three implementations (JAX device, C++ host, numpy
+    golden) share this policy and are bit-identical.
 
 Integrity invariant: after decoding every stage, each lane state must be
 exactly L — checked by the decoder ("stream_ok").

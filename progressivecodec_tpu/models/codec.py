@@ -157,20 +157,25 @@ class Codec:
     # -- serialization --------------------------------------------------
     def serialize(self, data: dict) -> bytes:
         """Container: magic | quality f32 | batch u16 | z_h u16 | z_w u16 |
-        mask_pol len+utf8 | n_words u32 | words."""
+        lanes u16 | mask_pol len+utf8 | n_words u32 | words."""
         mp = (data["mask_pol"] or self.cfg.mask_policy).encode()
         head = MAGIC + struct.pack(
-            "<fHHHB", data["quality"], data["batch"], *data["z_shape"], len(mp)
+            "<fHHHHB", data["quality"], data["batch"], *data["z_shape"],
+            self.lanes, len(mp),
         )
         words = np.asarray(data["stream"], dtype="<u2").tobytes()
         return head + mp + struct.pack("<I", len(data["stream"])) + words
 
     def deserialize(self, blob: bytes) -> dict:
         assert blob[:4] == MAGIC, "bad container magic"
-        quality, batch, zh, zw, mlen = struct.unpack("<fHHHB", blob[4:15])
-        mp = blob[15 : 15 + mlen].decode()
-        (n_words,) = struct.unpack("<I", blob[15 + mlen : 19 + mlen])
-        words = np.frombuffer(blob[19 + mlen : 19 + mlen + 2 * n_words], dtype="<u2")
+        quality, batch, zh, zw, lanes, mlen = struct.unpack("<fHHHHB", blob[4:17])
+        if lanes != self.lanes:
+            raise ValueError(
+                f"container coded with {lanes} lanes; codec configured for {self.lanes}"
+            )
+        mp = blob[17 : 17 + mlen].decode()
+        (n_words,) = struct.unpack("<I", blob[17 + mlen : 21 + mlen])
+        words = np.frombuffer(blob[21 + mlen : 21 + mlen + 2 * n_words], dtype="<u2")
         return {
             "stream": words,
             "z_shape": (zh, zw),
