@@ -383,6 +383,14 @@ class GranularCodec(Codec):
         return result
 
     def decompress(self, data: dict) -> dict:
+        out = self.decompress_to_latent(data)
+        which = 0 if float(data["quality"]) == 0 else 1
+        x_hat = self._J_synth(self._pt[f"g_s{which}"], out["y_hat"], which)
+        return {"x_hat": x_hat, "stream_ok": out["stream_ok"]}
+
+    def decompress_to_latent(self, data: dict) -> dict:
+        """Entropy decode + slice reconstruction, stopping before g_s
+        (lets tiled/sharded synthesis consume the latent)."""
         cfg = self.cfg
         p = self.p
         self.update()
@@ -426,9 +434,8 @@ class GranularCodec(Codec):
 
         if quality == 0:
             y_hat = jnp.concatenate(y_hat_base, axis=-1)
-            x_hat = self._J_synth(self._pt["g_s0"], y_hat, 0)
             ok = (states == jnp.uint32(1 << 16)).all()
-            return {"x_hat": x_hat, "stream_ok": ok}
+            return {"y_hat": y_hat, "stream_ok": ok}
 
         base_stack = jnp.stack(y_hat_base, axis=0)
         mu_st, scale_st, mask, keep, idx, ms = self._J_prog_params(quality, mask_pol)(
@@ -441,9 +448,8 @@ class GranularCodec(Codec):
         y_hat_st = self._J_prog_recon(
             p["lrp_prog"], ms, mu_st, vals.reshape(mu_st.shape), keep, base_stack
         )
-        x_hat = self._J_synth(self._pt["g_s1"], self._unstack(y_hat_st), 1)
         ok = (states == jnp.uint32(1 << 16)).all()
-        return {"x_hat": x_hat, "stream_ok": ok}
+        return {"y_hat": self._unstack(y_hat_st), "stream_ok": ok}
 
     # ---------- helpers ----------
 
@@ -495,4 +501,17 @@ def make_codec(model, variables, lanes: int = DEFAULT_LANES, precision: int = 16
         and cfg.u_net_post == 0
     ):
         return GranularCodec(model, variables, lanes, precision, transform_dtype)
+    import warnings
+
+    import jax as _jax
+
+    if _jax.default_backend() != "cpu":
+        warnings.warn(
+            "monolithic Codec on an accelerator: compress/decompress are "
+            "separate XLA programs, so sigma/mask computation is not "
+            "guaranteed bit-identical across them (observed desync on TPU "
+            "at full scale). The granular codec covers the flagship config; "
+            "REM/unrolled variants get granular treatment in a later round.",
+            stacklevel=2,
+        )
     return Codec(model, variables, lanes, precision)

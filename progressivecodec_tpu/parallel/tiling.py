@@ -147,6 +147,21 @@ def tiled_compress(codec, x, mesh: Mesh, *, quality: float = 10.0,
     return codec.compress_from_latent(y, x.shape, quality=quality, mask_pol=mask_pol)
 
 
+def tiled_decompress(codec, data: dict, mesh: Mesh, *, axis: str = "model"):
+    """Sharded decode counterpart of tiled_compress: entropy decode +
+    slice reconstruction through the codec's shared executables, then the
+    synthesis transform (the image-space FLOPs) runs width-tiled."""
+    out = codec.decompress_to_latent(data)
+    which = 0 if float(data["quality"]) == 0 else 1
+    x_hat = tiled_synthesize(
+        codec.model, codec.variables, out["y_hat"], mesh,
+        decoder_index=which, axis=axis,
+    )
+    import jax.numpy as jnp
+
+    return {"x_hat": jnp.clip(x_hat, 0.0, 1.0), "stream_ok": out["stream_ok"]}
+
+
 def tiled_synthesize(model, variables, y_hat, mesh: Mesh, *, decoder_index: int = 1,
                      axis: str = "model", halo_latent: int = 16):
     """Exact tiled g_s: latent tiles + latent-space halo -> image tiles.

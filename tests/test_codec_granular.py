@@ -55,3 +55,16 @@ def test_granular_matches_monolithic_stream(setup):
         # cross-decode: monolithic decodes the granular stream
         out = mono.decompress(d_g)
         assert bool(out["stream_ok"])
+
+
+def test_granular_batched_roundtrip(setup):
+    """B>1 images share one stream; round trip stays exact."""
+    model, variables = setup
+    codec = GranularCodec(model, variables, lanes=64)
+    x = jax.random.uniform(jax.random.PRNGKey(11), (2, 64, 64, 3))
+    data = codec.compress(x, quality=5, simulate=True)
+    out = codec.decompress(data)
+    assert bool(out["stream_ok"])
+    np.testing.assert_allclose(
+        np.asarray(out["x_hat"]), np.asarray(data["x_hat"]), atol=1e-5
+    )

@@ -80,3 +80,20 @@ def test_tiled_compress_matches_single_chip(setup):
     np.testing.assert_array_equal(got["stream"], ref["stream"])
     out = codec.decompress(got)
     assert bool(out["stream_ok"])
+
+
+def test_tiled_decompress_matches_single_chip(setup):
+    from progressivecodec_tpu.models.codec_granular import make_codec
+    from progressivecodec_tpu.parallel.tiling import tiled_decompress
+
+    model, variables, mesh = setup
+    codec = make_codec(model, variables, lanes=64)
+    x = jax.random.uniform(jax.random.PRNGKey(8), (1, 64, 512, 3))
+    data = codec.compress(x, quality=5)
+    ref = codec.decompress(data)
+    with mesh:
+        got = tiled_decompress(codec, data, mesh)
+    assert bool(got["stream_ok"])
+    np.testing.assert_allclose(
+        np.asarray(got["x_hat"]), np.asarray(ref["x_hat"]), atol=1e-4
+    )
