@@ -548,6 +548,80 @@ class ChannelProgressiveWACNN(nn.Module):
         }
 
     # ------------------------------------------------------------------
+    # granular-codec fragments: small pure methods the GranularCodec jits
+    # individually so compress and decompress share executables for every
+    # sigma/mu/mask computation (see models/codec_granular.py)
+    # ------------------------------------------------------------------
+
+    def codec_hyper_enc(self, y):
+        return self.h_a(y)
+
+    def codec_hyper_dec(self, z_hat):
+        return self.hyper_params(z_hat, 0)
+
+    def codec_base_params(self, i: int, lm, ls, support, scale_table):
+        mu, scale, ms = self._base_slice(i, lm, ls, list(support))
+        idx = build_indexes(scale, scale_table, 0.11)
+        return mu, scale, idx, ms
+
+    def codec_base_recon(self, i: int, ms, mu, vals):
+        y0 = vals.astype(jnp.float32) + mu
+        return y0 + self._base_lrp(i, ms, y0)
+
+    def codec_prog_stacked(self, quality: float, mask_pol, lm, ls, y_hat_base, scale_table):
+        mu, scale, ms, base_stack = self._prog_params_stacked(lm, ls, list(y_hat_base))
+        mask = stacked_channel_mask(
+            scale, pr=quality, mask_pol=mask_pol or "point-based-std",
+            dim_chunk=self.cfg.dim_chunk, division_channel=self.cfg.division_channel,
+        )
+        keep = jnp.round(mask) > 0.5
+        idx = build_indexes(scale, scale_table, 0.11)
+        return mu, scale, mask, keep, idx, ms, base_stack
+
+    def codec_prog_recon_stacked(self, ms, mu, vals, keep, base_stack):
+        cfg = self.cfg
+        y0 = jnp.where(keep, vals.astype(jnp.float32), 0.0) + mu
+        if cfg.residual_before_lrp:
+            y0 = y0 + base_stack
+        lrp_in = jnp.concatenate([ms, y0], axis=-1)
+        y0 = y0 + 0.5 * jnp.tanh(self.lrp_prog(lrp_in))
+        if not cfg.residual_before_lrp:
+            y0 = y0 + base_stack
+        return y0
+
+    def codec_prog_params(
+        self, i: int, quality: float, mask_pol, lm, ls, y_hat_base,
+        mu_total, std_total, prog_slices, mu_b_i, std_b_i, checkpoint_slice,
+        scale_table,
+    ):
+        """Unrolled per-slice prog params incl. the refinement hook (REM)
+        and the mask — everything whose output feeds index/keep decisions."""
+        mu, scale, mut, ms = self._prog_slice(
+            i, lm, ls, list(y_hat_base), list(mu_total), list(std_total), list(prog_slices)
+        )
+        anchor = checkpoint_slice if checkpoint_slice is not None else y_hat_base[i]
+        mu, scale = self._refine_prog_params(
+            i, quality, mu, scale, mu_b_i, std_b_i, anchor, False, mask_pol
+        )
+        mask = self._mask_for(scale, quality, mask_pol, i, y_hat_base[i])
+        keep = jnp.round(mask) > 0.5
+        idx = build_indexes(scale, scale_table, 0.11)
+        return mu, scale, mut, mask, keep, idx, ms
+
+    def codec_prog_recon(self, i: int, ms, mu, vals, keep, y_b_i):
+        cfg = self.cfg
+        y0 = jnp.where(keep, vals.astype(jnp.float32), 0.0) + mu
+        if cfg.residual_before_lrp:
+            y0 = self.merge(y0, y_b_i, i)
+        y0 = y0 + self._prog_lrp(i, ms, y0)
+        if not cfg.residual_before_lrp:
+            y0 = self.merge(y0, y_b_i, i)
+        return y0
+
+    def codec_synth(self, which: int, y_hat):
+        return jnp.clip(self._apply_refine(self.g_s[which](y_hat), which), 0.0, 1.0)
+
+    # ------------------------------------------------------------------
     # real codec: on-device rANS (CHProg_cnn.py:686-999 semantics)
     # ------------------------------------------------------------------
 

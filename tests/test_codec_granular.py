@@ -68,3 +68,57 @@ def test_granular_batched_roundtrip(setup):
     np.testing.assert_allclose(
         np.asarray(out["x_hat"]), np.asarray(data["x_hat"]), atol=1e-5
     )
+
+
+def test_granular_rem_roundtrip():
+    """The REM variant now runs through the granular (shared-executable)
+    codec, including its refinement banks in the shared prog fragment."""
+    from progressivecodec_tpu.models.rem import PostRateProcessedNetwork
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, name="rate")
+    model = PostRateProcessedNetwork(cfg=cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(
+        lambda r, xx: model.init(
+            {"params": r}, xx, PostRateProcessedNetwork.init_qualities(cfg), training=False
+        )
+    )(jax.random.PRNGKey(0), x)
+    from progressivecodec_tpu.models.codec_granular import make_codec
+
+    codec = make_codec(model, variables, lanes=64)
+    assert isinstance(codec, GranularCodec)
+    xr = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    for q in [0, 1.0, 10.0]:
+        data = codec.compress(xr, quality=q, simulate=True)
+        out = codec.decompress(data)
+        assert bool(out["stream_ok"]), f"q={q}"
+        np.testing.assert_allclose(
+            np.asarray(out["x_hat"]), np.asarray(data["x_hat"]), atol=1e-5
+        )
+
+
+def test_granular_unrolled_variant_roundtrip():
+    """delta_encode + support_progressive_slices>0 exercises the unrolled
+    shared-fragment path end to end."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY, delta_encode=True, support_progressive_slices=2, total_mu_rep=True
+    )
+    model = ChannelProgressiveWACNN(cfg=cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(lambda r, xx: model.init({"params": r}, xx, training=False))(
+        jax.random.PRNGKey(0), x
+    )
+    from progressivecodec_tpu.models.codec_granular import make_codec
+
+    codec = make_codec(model, variables, lanes=64)
+    xr = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    for q in [0, 5.0]:
+        data = codec.compress(xr, quality=q, simulate=True)
+        out = codec.decompress(data)
+        assert bool(out["stream_ok"]), f"q={q}"
+        np.testing.assert_allclose(
+            np.asarray(out["x_hat"]), np.asarray(data["x_hat"]), atol=1e-5
+        )
