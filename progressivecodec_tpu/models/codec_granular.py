@@ -40,6 +40,12 @@ class GranularCodec(Codec):
 
     def __init__(self, model, variables, lanes: int = DEFAULT_LANES, precision: int = 16):
         super().__init__(model, variables, lanes, precision)
+        from progressivecodec_tpu.models.progressive import ChannelProgressiveWACNN
+
+        self._progressive = isinstance(model, ChannelProgressiveWACNN)
+        cfg = model.cfg
+        self._n_base = cfg.ns0 if self._progressive else cfg.M // cfg.dim_chunk
+        self._n_split = cfg.ns1 if self._progressive else cfg.M // cfg.dim_chunk
         self.p = variables["params"]
         self._jits: dict = {}
         self._ones_cache: dict = {}
@@ -173,7 +179,7 @@ class GranularCodec(Codec):
         return jnp.stack(parts, axis=0)
 
     def _stacked(self) -> bool:
-        return self.model._use_stacked_prog()
+        return self._progressive and self.model._use_stacked_prog()
 
     # ---------- shared base pipeline ----------
 
@@ -182,7 +188,7 @@ class GranularCodec(Codec):
         values (encoder: quantized; decoder: entropy-decoded)."""
         cfg = self.cfg
         y_hat_base, mu_list, std_list = [], [], []
-        for i in range(cfg.ns0):
+        for i in range(self._n_base):
             support = tuple(y_hat_base[: min(i, cfg.max_support_slices)])
             mu, scale, idx, ms = self._call(
                 "codec_base_params", (i,), lm, ls, support, self._scale_table
@@ -216,7 +222,7 @@ class GranularCodec(Codec):
         z_sym, z_idx, z_hat = self._J_zquant(z, self._medians())
         lm, ls = self._call("codec_hyper_dec", (), z_hat)
 
-        y_slices = jnp.split(y, cfg.ns1, axis=-1)
+        y_slices = jnp.split(y, self._n_split, axis=-1)
         stages = [(z_sym.reshape(-1), z_idx.reshape(-1), self._ones(z_sym.size))]
 
         enc_syms = {}
@@ -227,14 +233,14 @@ class GranularCodec(Codec):
             return vals
 
         y_hat_base, mu_list, std_list = self._base_loop(lm, ls, enc_vals)
-        for i in range(cfg.ns0):
+        for i in range(self._n_base):
             sym, idx = enc_syms[i]
             stages.append(
                 (sym.reshape(-1), (idx + self.gauss_row0).reshape(-1), self._ones(sym.size))
             )
 
         y_hat_prog_cat = None
-        if quality > 0:
+        if quality > 0 and self._progressive:
             if self._stacked():
                 y_prog = self._stack_y_prog(y_slices)
                 mu_st, scale_st, mask, keep, idx, ms, base_stack = self._call(
@@ -298,7 +304,7 @@ class GranularCodec(Codec):
         else:
             result = {"stream_dev": stream, "n_words_dev": n_words, **common}
         if simulate:
-            if quality > 0:
+            if quality > 0 and self._progressive:
                 result["x_hat"] = self._call("codec_synth", (1,), y_hat_prog_cat)
             else:
                 result["x_hat"] = self._call(
@@ -308,7 +314,7 @@ class GranularCodec(Codec):
 
     def decompress(self, data: dict) -> dict:
         out = self.decompress_to_latent(data)
-        which = 0 if float(data["quality"]) == 0 else 1
+        which = 0 if (float(data["quality"]) == 0 or not self._progressive) else 1
         x_hat = self._call("codec_synth", (which,), out["y_hat"])
         return {"x_hat": x_hat, "stream_ok": out["stream_ok"]}
 
@@ -350,7 +356,7 @@ class GranularCodec(Codec):
 
         y_hat_base, mu_list, std_list = self._base_loop(lm, ls, dec_vals)
 
-        if quality == 0:
+        if quality == 0 or not self._progressive:
             ok = (dec_state["states"] == jnp.uint32(1 << 16)).all()
             return {"y_hat": jnp.concatenate(y_hat_base, axis=-1), "stream_ok": ok}
 
@@ -398,20 +404,6 @@ class GranularCodec(Codec):
 
 
 def make_codec(model, variables, lanes: int = DEFAULT_LANES, precision: int = 16):
-    """GranularCodec for the progressive family (incl. REM and all unrolled
-    variants); monolithic Codec for WACNN."""
-    from progressivecodec_tpu.models.progressive import ChannelProgressiveWACNN
-
-    if isinstance(model, ChannelProgressiveWACNN):
-        return GranularCodec(model, variables, lanes, precision)
-    import warnings
-
-    if jax.default_backend() != "cpu":
-        warnings.warn(
-            "monolithic Codec on an accelerator: compress/decompress are "
-            "separate XLA programs, so sigma computation is not guaranteed "
-            "bit-identical across them; the granular codec covers the "
-            "progressive family.",
-            stacklevel=2,
-        )
-    return Codec(model, variables, lanes, precision)
+    """GranularCodec for every model family (progressive incl. REM and all
+    unrolled variants, and the single-rate WACNN)."""
+    return GranularCodec(model, variables, lanes, precision)

@@ -128,6 +128,26 @@ class WACNN(nn.Module):
             "y_hat": y_hat,
         }
 
+    # ---- granular-codec fragments (see models/codec_granular.py) ----
+
+    def codec_hyper_enc(self, y):
+        return self.h_a(y)
+
+    def codec_hyper_dec(self, z_hat):
+        return self.h_mean_s(z_hat), self.h_scale_s(z_hat)
+
+    def codec_base_params(self, i: int, lm, ls, support, scale_table):
+        mu, scale, ms = self.slice_params(i, lm, ls, list(support))
+        idx = build_indexes(scale, scale_table, 0.11)
+        return mu, scale, idx, ms
+
+    def codec_base_recon(self, i: int, ms, mu, vals):
+        y0 = vals.astype(jnp.float32) + mu
+        return y0 + self.slice_lrp(i, ms, y0)
+
+    def codec_synth(self, which: int, y_hat):
+        return jnp.clip(self.g_s(y_hat), 0.0, 1.0)
+
     # ---- real codec (cnn.py:214-336 semantics, on-device rANS) ----
 
     def forward_single_quality(self, x, quality=0.0, mask_pol=None, *, training=False, rng=None):

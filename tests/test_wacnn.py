@@ -42,3 +42,18 @@ def test_wacnn_codec_roundtrip(wacnn):
     np.testing.assert_allclose(
         np.asarray(out["x_hat"]), np.asarray(data["x_hat"]), atol=1e-5
     )
+
+
+def test_wacnn_granular_codec(wacnn):
+    from progressivecodec_tpu.models.codec_granular import make_codec, GranularCodec
+
+    model, variables = wacnn
+    codec = make_codec(model, variables, lanes=64)
+    assert isinstance(codec, GranularCodec)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (1, 64, 64, 3))
+    data = codec.compress(x, simulate=True)
+    out = codec.decompress(data)
+    assert bool(out["stream_ok"])
+    np.testing.assert_allclose(
+        np.asarray(out["x_hat"]), np.asarray(data["x_hat"]), atol=1e-5
+    )
