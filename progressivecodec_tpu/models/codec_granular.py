@@ -56,6 +56,35 @@ class GranularCodec(Codec):
 
     # ---------- jitted model-method fragments ----------
 
+    # top-level param modules each fragment needs — passing a filtered
+    # subtree keeps the per-dispatch pytree small (the full tree has
+    # hundreds of leaves and every call would flatten it on the host)
+    _FRAGMENT_MODULES = {
+        "analyze": ("g_a", "g_a0", "g_a1"),
+        "codec_hyper_enc": ("h_a",),
+        "codec_hyper_dec": ("h_mean_s", "h_scale_s", "h_mean_s0", "h_mean_s1",
+                            "h_scale_s0", "h_scale_s1"),
+        "codec_base_params": ("cc_mean", "cc_scale"),
+        "codec_base_recon": ("lrp",),
+        "codec_prog_stacked": ("cc_mean_prog", "cc_scale_prog"),
+        "codec_prog_recon_stacked": ("lrp_prog",),
+        "codec_synth": ("g_s0", "g_s1", "g_s", "refine", "refine0", "refine1"),
+    }
+
+    def _fragment_vars(self, name: str):
+        cache = self.__dict__.setdefault("_frag_vars", {})
+        if name not in cache:
+            prefixes = self._FRAGMENT_MODULES.get(name)
+            if prefixes is None:
+                cache[name] = self.variables
+            else:
+                cache[name] = {
+                    "params": {
+                        k: v for k, v in self.p.items() if k.startswith(prefixes)
+                    }
+                }
+        return cache[name]
+
     def _call(self, name: str, statics: tuple, *args):
         """Apply model method `name` with leading static args, jitted once
         per (name, statics, arg-structure) — both codec paths reuse it."""
@@ -68,7 +97,7 @@ class GranularCodec(Codec):
                 return model.apply(variables, *_st, *a, method=_meth)
 
             self._jits[key] = jax.jit(fn)
-        return self._jits[key](self.variables, *args)
+        return self._jits[key](self._fragment_vars(name), *args)
 
     # ---------- coder + glue executables ----------
 
