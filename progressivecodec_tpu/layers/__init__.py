@@ -9,6 +9,12 @@ from progressivecodec_tpu.layers.blocks import (
     gelu,
 )
 from progressivecodec_tpu.layers.masking import channel_mask, apply_mask_noise
+from progressivecodec_tpu.layers.postnets import (
+    LatentPostNet,
+    PostNet,
+    ResidualBlockGDN,
+    ResidualBlockSmall,
+)
 from progressivecodec_tpu.layers.unet import UNet
 
 __all__ = [
@@ -23,4 +29,8 @@ __all__ = [
     "channel_mask",
     "apply_mask_noise",
     "UNet",
+    "LatentPostNet",
+    "PostNet",
+    "ResidualBlockGDN",
+    "ResidualBlockSmall",
 ]
