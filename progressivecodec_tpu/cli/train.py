@@ -34,7 +34,7 @@ from progressivecodec_tpu.models.registry import get_model
 from progressivecodec_tpu.models.codec_granular import make_codec
 from progressivecodec_tpu.training.checkpoint import save_checkpoint, load_checkpoint
 from progressivecodec_tpu.training.evaluate import evaluate_codec, entropy_estimate_eval
-from progressivecodec_tpu.training.optim import plateau_init, plateau_update
+from progressivecodec_tpu.training.optim import plateau_init, plateau_update, set_lr_scale
 from progressivecodec_tpu.training.step import init_train_state, make_train_step
 from progressivecodec_tpu.utils.rd import plot_rd, rd_curve_dict, BASE_ANCHOR_BPP, BASE_ANCHOR_PSNR
 
@@ -49,6 +49,7 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--lr-patience", type=int, default=None, dest="lr_patience")
     p.add_argument("--checkpoint", type=str, default=None, help="resume path")
     p.add_argument("--synthetic", action="store_true", help="synthetic data (smoke)")
     p.add_argument("--eval-every", type=int, default=5)
@@ -75,7 +76,7 @@ def main(argv=None):
         mcfg = config_lib.model_config_from_json(open(args.config).read())
     tcfg = TrainConfig()
     overrides = {}
-    for field in ("epochs", "batch_size", "lr", "seed"):
+    for field in ("epochs", "batch_size", "lr", "seed", "lr_patience"):
         v = getattr(args, field)
         if v is not None:
             overrides[field] = v
@@ -128,11 +129,23 @@ def main(argv=None):
 
         # entropy-estimate validation at the quality ladder
         codec = make_codec(model, {"params": state.params})
-        val = entropy_estimate_eval(codec, test_imgs[:4], pr_list=(0.0, 10.0))
+        val = entropy_estimate_eval(
+            codec, test_imgs[:4], pr_list=(0.0, 1.0, 2.0, 5.0, 10.0)
+        )
         _log(args.out, {"epoch": epoch, "valid": val})
-        plateau = plateau_update(
+        # ReduceLROnPlateau analog (train.py:276): scale lr by lr_factor
+        # after lr_patience non-improving epochs — applied via opt-state
+        # hyperparam surgery, so the compiled step is reused
+        new_plateau = plateau_update(
             plateau, train_loss, tcfg.lr_factor, tcfg.lr_patience
         )
+        if new_plateau.scale != plateau.scale:
+            state = state._replace(
+                opt_state=set_lr_scale(state.opt_state, new_plateau.scale)
+            )
+            _log(args.out, {"epoch": epoch, "lr_scale": new_plateau.scale,
+                            "lr": tcfg.lr * new_plateau.scale})
+        plateau = new_plateau
 
         if (epoch + 1) % args.eval_every == 0:
             codec.update()

@@ -77,3 +77,40 @@ def make_optimizer_scheduled(
 
     aux = optax.adam(aux_lr)
     return optax.multi_transform({"main": main(scale=1.0), "aux": aux}, param_labels=_param_labels)
+
+
+def set_lr_scale(opt_state, scale: float):
+    """Write the plateau `scale` into a make_optimizer_scheduled state.
+
+    The scale lives in the inject_hyperparams state of the 'main' branch;
+    this walks the opt_state pytree and replaces every hyperparams['scale']
+    leaf (there is exactly one).  Pure host-side surgery — the jitted train
+    step picks the new value up on its next call because the pytree
+    structure is unchanged.
+    """
+    import jax.numpy as jnp
+
+    found = 0
+
+    def visit(node):
+        nonlocal found
+        if hasattr(node, "hyperparams") and isinstance(getattr(node, "hyperparams"), dict):
+            hp = dict(node.hyperparams)
+            if "scale" in hp:
+                found += 1
+                hp["scale"] = jnp.asarray(scale, dtype=jnp.asarray(hp["scale"]).dtype)
+                return node._replace(hyperparams=hp)
+        if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
+            return type(node)(*[visit(v) for v in node])
+        if isinstance(node, tuple):
+            return tuple(visit(v) for v in node)
+        if isinstance(node, list):
+            return [visit(v) for v in node]
+        if isinstance(node, dict):
+            return {k: visit(v) for k, v in node.items()}
+        return node
+
+    new_state = visit(opt_state)
+    if found == 0:
+        raise ValueError("no hyperparams['scale'] found — was the optimizer built by make_optimizer_scheduled?")
+    return new_state

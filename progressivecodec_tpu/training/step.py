@@ -17,7 +17,7 @@ import optax
 
 from progressivecodec_tpu.config import TrainConfig
 from progressivecodec_tpu.training.loss import scalable_rate_distortion_loss
-from progressivecodec_tpu.training.optim import make_optimizer
+from progressivecodec_tpu.training.optim import make_optimizer_scheduled
 
 
 class TrainState(NamedTuple):
@@ -33,7 +33,9 @@ def init_train_state(model, rng, train_cfg: TrainConfig, sample_shape=(1, 256, 2
         rng, jnp.zeros(sample_shape)
     )
     params = variables["params"]
-    tx = make_optimizer(train_cfg.lr, train_cfg.aux_lr, train_cfg.clip_max_norm)
+    # scheduled variant so the host-side plateau scheduler (train.py:276's
+    # ReduceLROnPlateau analog) can scale lr via optim.set_lr_scale
+    tx = make_optimizer_scheduled(train_cfg.lr, train_cfg.aux_lr, train_cfg.clip_max_norm)
     opt_state = tx.init(params)
     return TrainState(params=params, opt_state=opt_state, step=jnp.int32(0)), tx
 

@@ -91,6 +91,41 @@ def test_plateau_scheduler():
     assert s.best == 0.5 and s.bad_epochs == 0
 
 
+def test_lr_scale_applied_to_updates():
+    """set_lr_scale must actually shrink the main-branch update (the
+    ReduceLROnPlateau wiring the reference applies at train.py:276)."""
+    from progressivecodec_tpu.training.optim import make_optimizer_scheduled, set_lr_scale
+
+    params = {"w": jnp.ones((3,)), "entropy_bottleneck": {"quantiles": jnp.ones((2, 1, 3))}}
+    grads = jax.tree.map(jnp.ones_like, params)
+    tx = make_optimizer_scheduled(lr=1e-4, aux_lr=1e-3)
+    st = tx.init(params)
+    up1, st1 = tx.update(grads, st, params)
+    st_scaled = set_lr_scale(st, 0.3)
+    up2, _ = tx.update(grads, st_scaled, params)
+    w1 = float(jnp.abs(up1["w"]).max())
+    w2 = float(jnp.abs(up2["w"]).max())
+    np.testing.assert_allclose(w2, 0.3 * w1, rtol=1e-6)
+    # aux branch (quantiles) untouched by the plateau scale
+    np.testing.assert_allclose(
+        np.asarray(up1["entropy_bottleneck"]["quantiles"]),
+        np.asarray(up2["entropy_bottleneck"]["quantiles"]),
+    )
+
+
+def test_init_train_state_uses_scheduled_optimizer():
+    """The driver's optimizer must expose the plateau scale hyperparam."""
+    from progressivecodec_tpu.training.optim import set_lr_scale
+
+    model = ChannelProgressiveWACNN(cfg=TINY)
+    state, tx = init_train_state(
+        model, jax.random.PRNGKey(0), TCFG, sample_shape=(1, 64, 64, 3)
+    )
+    # raises if the scale hyperparam is absent
+    st2 = set_lr_scale(state.opt_state, 0.5)
+    assert jax.tree_util.tree_structure(st2) == jax.tree_util.tree_structure(state.opt_state)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from progressivecodec_tpu.training.checkpoint import save_checkpoint, load_checkpoint
 
