@@ -52,6 +52,13 @@ def parse_args(argv=None):
     p.add_argument("--lr-patience", type=int, default=None, dest="lr_patience")
     p.add_argument("--checkpoint", type=str, default=None, help="resume path")
     p.add_argument("--synthetic", action="store_true", help="synthetic data (smoke)")
+    p.add_argument(
+        "--natural", action="store_true",
+        help="natural-statistics synthetic training data (1/f fields + edges) "
+        "with the fixed synthetic-Kodak test set — the in-sandbox stand-in "
+        "for the reference's OpenImages/Kodak protocol",
+    )
+    p.add_argument("--natural-n", type=int, default=4000, help="train set size for --natural")
     p.add_argument("--eval-every", type=int, default=5)
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument(
@@ -82,7 +89,13 @@ def main(argv=None):
             overrides[field] = v
     tcfg = dataclasses.replace(tcfg, **overrides)
 
-    if args.synthetic:
+    if args.natural:
+        from progressivecodec_tpu.data.datasets import NaturalSyntheticDataset, SyntheticKodak
+
+        train_ds = NaturalSyntheticDataset(n=args.natural_n, size=max(384, tcfg.patch_size))
+        kodak = SyntheticKodak()
+        test_imgs = [kodak[i] for i in range(len(kodak))]
+    elif args.synthetic:
         train_ds = SyntheticDataset(n=max(64, tcfg.batch_size * 4), size=tcfg.patch_size)
         test_imgs = [SyntheticDataset(n=2, size=256)[i] for i in range(2)]
     else:
@@ -110,7 +123,10 @@ def main(argv=None):
         step_fn = make_sampled_train_step(model, tx)
     else:
         step_fn = jax.jit(make_train_step(model, tx, quality=(0, 10)))
-    loader = PatchLoader(train_ds, tcfg.batch_size, tcfg.patch_size, seed=tcfg.seed)
+    loader = PatchLoader(
+        train_ds, tcfg.batch_size, tcfg.patch_size, seed=tcfg.seed,
+        workers=8 if args.natural else 2,
+    )
     plateau = plateau_init()
     best_loss = float("inf")
 

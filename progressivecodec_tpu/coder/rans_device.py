@@ -76,6 +76,7 @@ class DeviceTables(NamedTuple):
 class DecoderState(NamedTuple):
     states: jax.Array  # (K,) uint32
     offset: jax.Array  # () int32 — next payload word index
+    esc_offset: jax.Array  # () int32 — next escape word index (into esc buf)
 
 
 def _pad_to_grid(x: jax.Array, lanes: int, fill=0):
@@ -87,9 +88,15 @@ def _pad_to_grid(x: jax.Array, lanes: int, fill=0):
     return x.reshape(p, lanes)
 
 
-def clamp_symbols(symbols: jax.Array, indexes: jax.Array, t: DeviceTables) -> jax.Array:
+def split_escapes(symbols: jax.Array, indexes: jax.Array, keep: jax.Array, t: DeviceTables):
+    """Symbols -> (coded CDF indices, escape flags).  Out-of-support
+    symbols code the row sentinel (max_symbol + 1) in-stream and their
+    exact int32 value in the escape segment (see tables.py)."""
     v = symbols.astype(jnp.int32) - t.offset[indexes]
-    return jnp.clip(v, 0, t.max_symbol[indexes])
+    maxs = t.max_symbol[indexes]
+    in_sup = (v >= 0) & (v <= maxs)
+    esc = keep.astype(bool) & ~in_sup
+    return jnp.where(in_sup, jnp.clip(v, 0, maxs), maxs + 1), esc
 
 
 def encode_stage_scan(states: jax.Array, v: jax.Array, idx: jax.Array, keep: jax.Array, t: DeviceTables):
@@ -122,7 +129,8 @@ def encode_stage_scan(states: jax.Array, v: jax.Array, idx: jax.Array, keep: jax
 
 def encode_stages(stages, t: DeviceTables, lanes: int = DEFAULT_LANES):
     """stages: list of (symbols (n,), indexes (n,), keep (n,) bool) device
-    arrays, in decode order.  Returns (stream (cap,) uint16, n_words ()).
+    arrays, in decode order.  Returns
+    (stream (cap,) uint16, n_words (), esc (2*cap_sym,) uint16, n_esc ()).
 
     The encoder has no cross-stage dependency (all symbols are known), so
     every stage's position grid is concatenated and coded by ONE reverse
@@ -130,16 +138,28 @@ def encode_stages(stages, t: DeviceTables, lanes: int = DEFAULT_LANES):
     must stay stage-wise: later params depend on earlier symbols).
 
     cap = 2*lanes + total padded symbol count (upper bound: <=1 word/symbol).
+    The escape segment is built OUTSIDE the scan (escape flags depend only
+    on symbols, not coder state): exact raw int32 values as (lo, hi) uint16
+    pairs in decode order; n_esc counts escapes (esc words used = 2*n_esc).
     """
     states = jnp.full((lanes,), RANS_L, dtype=jnp.uint32)
-    v_all, idx_all, kp_all = [], [], []
+    v_all, idx_all, kp_all, sym_all = [], [], [], []
     for symbols, indexes, keep in stages:
-        v_all.append(_pad_to_grid(clamp_symbols(symbols, indexes, t), lanes))
-        idx_all.append(_pad_to_grid(indexes.astype(jnp.int32), lanes))
-        kp_all.append(_pad_to_grid(keep.astype(bool), lanes))
+        keep = keep.astype(bool)
+        kp_grid = _pad_to_grid(keep, lanes)
+        idx_grid = _pad_to_grid(indexes.astype(jnp.int32), lanes)
+        v, _ = split_escapes(
+            _pad_to_grid(symbols.astype(jnp.int32), lanes).reshape(-1),
+            idx_grid.reshape(-1), kp_grid.reshape(-1), t,
+        )
+        v_all.append(v.reshape(kp_grid.shape))
+        idx_all.append(idx_grid)
+        kp_all.append(kp_grid)
+        sym_all.append(_pad_to_grid(symbols.astype(jnp.int32), lanes))
     v = jnp.concatenate(v_all, axis=0)
     idx = jnp.concatenate(idx_all, axis=0)
     kp = jnp.concatenate(kp_all, axis=0)
+    sym = jnp.concatenate(sym_all, axis=0).reshape(-1)
     states, words, flags = encode_stage_scan(states, v, idx, kp, t)
 
     words = words.reshape(-1)
@@ -152,28 +172,45 @@ def encode_stages(stages, t: DeviceTables, lanes: int = DEFAULT_LANES):
     payload = jnp.zeros((cap,), jnp.uint16)
     payload = payload.at[jnp.where(flags, pos, cap)].set(words, mode="drop")
 
+    # escape segment: compact raw values of escaped symbols, decode order
+    _, esc_flags = split_escapes(sym, idx.reshape(-1), kp.reshape(-1), t)
+    esc_flags = esc_flags.reshape(-1)
+    n_esc = esc_flags.sum(dtype=jnp.int32)
+    epos = jnp.cumsum(esc_flags.astype(jnp.int32)) - 1
+    raw = sym.astype(jnp.uint32)
+    esc = jnp.zeros((2 * cap,), jnp.uint16)
+    tgt = jnp.where(esc_flags, 2 * epos, 2 * cap)
+    esc = esc.at[tgt].set((raw & _MASK16).astype(jnp.uint16), mode="drop")
+    esc = esc.at[tgt + 1].set((raw >> 16).astype(jnp.uint16), mode="drop")
+
     head = jnp.zeros((2 * lanes,), jnp.uint16)
     head = head.at[0::2].set((states & _MASK16).astype(jnp.uint16))
     head = head.at[1::2].set((states >> 16).astype(jnp.uint16))
     stream = jnp.concatenate([head, payload])
-    return stream, n_payload + 2 * lanes
+    return stream, n_payload + 2 * lanes, esc, n_esc
 
 
 def decoder_init(stream: jax.Array, lanes: int = DEFAULT_LANES) -> DecoderState:
     head = stream[: 2 * lanes].astype(jnp.uint32)
     states = head[0::2] | (head[1::2] << 16)
-    return DecoderState(states=states, offset=jnp.int32(2 * lanes))
+    return DecoderState(states=states, offset=jnp.int32(2 * lanes),
+                        esc_offset=jnp.int32(0))
 
 
 def decode_stage(
     dec: DecoderState,
     stream: jax.Array,
+    esc: jax.Array,
     indexes: jax.Array,
     keep: jax.Array,
     t: DeviceTables,
     lanes: int = DEFAULT_LANES,
 ):
-    """Decode one stage of n symbols; returns (dec', values (n,) int32)."""
+    """Decode one stage of n symbols; returns (dec', values (n,) int32).
+
+    esc: uint16 escape segment (raw-value pairs); a decoded sentinel value
+    is replaced by its exact int32 from the segment, consumed in order.
+    """
     n = indexes.shape[0]
     idx = _pad_to_grid(indexes.astype(jnp.int32), lanes)
     kp = _pad_to_grid(keep.astype(bool), lanes)
@@ -202,7 +239,22 @@ def decode_stage(
         return (states, offset), vals
 
     (states, offset), vals = jax.lax.scan(step, (dec.states, dec.offset), (idx, kp))
-    return DecoderState(states, offset), vals.reshape(-1)[:n]
+    vals = vals.reshape(-1)[:n]
+
+    # escape substitution (outside the scan: flat, order-preserving)
+    idx_f = indexes.astype(jnp.int32)
+    kp_f = keep.astype(bool)
+    sentinel = t.offset[idx_f] + t.max_symbol[idx_f] + 1
+    esc_flag = kp_f & (vals == sentinel)
+    j = dec.esc_offset + 2 * (jnp.cumsum(esc_flag.astype(jnp.int32)) - 1)
+    safe = jnp.where(esc_flag, j, 0)
+    lo = esc[jnp.clip(safe, 0, esc.shape[0] - 1)].astype(jnp.uint32)
+    hi = esc[jnp.clip(safe + 1, 0, esc.shape[0] - 1)].astype(jnp.uint32)
+    raw = (lo | (hi << 16)).astype(jnp.int32)
+    vals = jnp.where(esc_flag, raw, vals)
+    esc_offset = dec.esc_offset + 2 * esc_flag.sum(dtype=jnp.int32)
+
+    return DecoderState(states, offset, esc_offset), vals
 
 
 def stream_ok(dec: DecoderState) -> jax.Array:

@@ -46,12 +46,12 @@ def get_lib():
         lib.pct1_encode.argtypes = [
             i32p, i32p, u8p, i64p, ctypes.c_int32,
             i32p, ctypes.c_int32, ctypes.c_int32, i32p, i32p,
-            ctypes.c_int32, u16p, ctypes.c_int64,
+            ctypes.c_int32, u16p, ctypes.c_int64, i64p,
         ]
         lib.pct1_decode.restype = ctypes.c_int32
         lib.pct1_decode.argtypes = [
-            u16p, ctypes.c_int64, i32p, u8p, i64p, ctypes.c_int32,
-            i32p, ctypes.c_int32, ctypes.c_int32, i32p, i32p,
+            u16p, ctypes.c_int64, ctypes.c_int64, i32p, u8p, i64p,
+            ctypes.c_int32, i32p, ctypes.c_int32, ctypes.c_int32, i32p, i32p,
             ctypes.c_int32, i32p,
         ]
         _LIB = lib
@@ -62,16 +62,19 @@ def _as_i32(x):
     return np.ascontiguousarray(x, dtype=np.int32)
 
 
-def encode_stages(stages, tables: CoderTables, lanes: int = DEFAULT_LANES) -> np.ndarray:
-    """Native encode — same signature/result as rans_numpy.encode_stages."""
+def encode_stages(stages, tables: CoderTables, lanes: int = DEFAULT_LANES):
+    """Native encode — same (words, esc_start) result as
+    rans_numpy.encode_stages."""
     lib = get_lib()
     symbols = np.concatenate([_as_i32(s) for s, _, _ in stages])
     indexes = np.concatenate([_as_i32(i) for _, i, _ in stages])
     keep = np.concatenate([np.ascontiguousarray(k, dtype=np.uint8) for _, _, k in stages])
     sizes = np.asarray([len(s) for s, _, _ in stages], dtype=np.int64)
     cdf = _as_i32(tables.cdf)
-    cap = 2 * lanes + len(symbols) + lanes  # <=1 word/symbol + slack
+    # <=1 payload word/symbol + <=2 escape words/symbol + slack
+    cap = 2 * lanes + 3 * len(symbols) + lanes
     out = np.empty(cap, dtype=np.uint16)
+    esc_start = ctypes.c_int64(0)
     n = lib.pct1_encode(
         symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         indexes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -86,13 +89,15 @@ def encode_stages(stages, tables: CoderTables, lanes: int = DEFAULT_LANES) -> np
         lanes,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         cap,
+        ctypes.byref(esc_start),
     )
     if n < 0:
         raise RuntimeError("pct1_encode: output capacity too small")
-    return out[:n].copy()
+    return out[:n].copy(), int(esc_start.value)
 
 
-def decode_stages(stream, tables: CoderTables, stage_meta, lanes: int = DEFAULT_LANES):
+def decode_stages(stream, tables: CoderTables, stage_meta,
+                  lanes: int = DEFAULT_LANES, esc_start: int | None = None):
     """Native decode — same result as rans_numpy.decode_stages."""
     lib = get_lib()
     stream = np.ascontiguousarray(stream, dtype=np.uint16)
@@ -104,6 +109,7 @@ def decode_stages(stream, tables: CoderTables, stage_meta, lanes: int = DEFAULT_
     ok = lib.pct1_decode(
         stream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         len(stream),
+        -1 if esc_start is None else int(esc_start),
         indexes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

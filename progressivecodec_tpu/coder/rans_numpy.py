@@ -2,7 +2,8 @@
 
 Vectorized numpy, bit-for-bit identical to the device coder — used as the
 test oracle and the slow-but-sure host fallback.  See tables.py for the
-format spec.
+format spec, including the lossless escape extension (sentinel symbol in
+the rANS stream + fixed-width 32-bit raw value in the escape segment).
 """
 
 from __future__ import annotations
@@ -19,27 +20,54 @@ def _stage_grid(n: int, lanes: int):
     return (n + lanes - 1) // lanes
 
 
-def clamp_symbols(symbols: np.ndarray, indexes: np.ndarray, tables: CoderTables):
-    """Symbol values -> clamped in-range coded indices v in [0, max_symbol]."""
+def split_escapes(symbols: np.ndarray, indexes: np.ndarray, keep: np.ndarray,
+                  tables: CoderTables):
+    """Symbols -> (coded indices v, escape flags).
+
+    In-support symbols code their CDF index; out-of-support symbols code
+    the row's sentinel index (max_symbol + 1, the tail entry — its
+    frequency is >= 1 by the CDF builder's invariants) and their exact
+    int32 value goes to the escape segment.  This replaces clamping, so
+    the coder is lossless for arbitrary symbols (reference semantics:
+    rans_interface.cpp:99-164, redesigned for SIMD lanes).
+    """
     v = symbols.astype(np.int64) - tables.offset[indexes]
-    return np.clip(v, 0, tables.max_symbol[indexes]).astype(np.int32)
+    maxs = tables.max_symbol[indexes]
+    in_sup = (v >= 0) & (v <= maxs)
+    esc = np.asarray(keep, bool) & ~in_sup
+    v_coded = np.where(in_sup, v, maxs + 1).astype(np.int32)
+    return v_coded, esc
 
 
-def encode_stages(stages, tables: CoderTables, lanes: int = DEFAULT_LANES) -> np.ndarray:
+def encode_stages(stages, tables: CoderTables, lanes: int = DEFAULT_LANES):
     """stages: list of (symbols int32[n], indexes int32[n], keep bool[n]).
 
-    Returns the full stream as uint16 words:
-    [2*lanes state words][payload words].
+    Returns (words, esc_start): the full stream as uint16 words
+    [2*lanes state words][payload][escape segment], and the word index
+    where the escape segment begins (= 2*lanes + n_payload).
     """
     states = np.full(lanes, RANS_L, dtype=np.uint64)
     cdf = tables.cdf
     payload_rev: list[np.ndarray] = []  # chunks in reverse global order
+    esc_words: list[np.ndarray] = []  # in forward (decode) order
+
+    for symbols, indexes, keep in stages:
+        # escape raw values, in decode order (position-major, lane-minor)
+        _, esc = split_escapes(symbols, indexes, keep, tables)
+        if esc.any():
+            raw = np.asarray(symbols, np.int64)[esc].astype(np.uint32)
+            pair = np.empty(2 * raw.size, np.uint16)
+            pair[0::2] = (raw & _MASK16).astype(np.uint16)
+            pair[1::2] = (raw >> 16).astype(np.uint16)
+            esc_words.append(pair)
+        else:
+            esc_words.append(np.zeros(0, np.uint16))
 
     for symbols, indexes, keep in reversed(stages):
         n = len(symbols)
         p = _stage_grid(n, lanes)
         pad = p * lanes - n
-        v = clamp_symbols(symbols, indexes, tables)
+        v, _ = split_escapes(symbols, indexes, keep, tables)
         idx = np.asarray(indexes, dtype=np.int64)
         kp = np.asarray(keep, dtype=bool)
         if pad:
@@ -71,19 +99,23 @@ def encode_stages(stages, tables: CoderTables, lanes: int = DEFAULT_LANES) -> np
     head = np.zeros(2 * lanes, dtype=np.uint16)
     head[0::2] = (states & _MASK16).astype(np.uint16)
     head[1::2] = ((states >> 16) & _MASK16).astype(np.uint16)
-    return np.concatenate([head, payload])
+    esc_start = 2 * lanes + len(payload)
+    return np.concatenate([head, payload] + esc_words), esc_start
 
 
 class StreamDecoder:
-    """Stage-by-stage decoder carrying (states, word offset)."""
+    """Stage-by-stage decoder carrying (states, word offset, escape ptr)."""
 
-    def __init__(self, stream: np.ndarray, tables: CoderTables, lanes: int = DEFAULT_LANES):
+    def __init__(self, stream: np.ndarray, tables: CoderTables,
+                 lanes: int = DEFAULT_LANES, esc_start: int | None = None):
         self.words = np.asarray(stream, dtype=np.uint16)
         self.tables = tables
         self.lanes = lanes
         head = self.words[: 2 * lanes].astype(np.uint64)
         self.states = head[0::2] | (head[1::2] << 16)
         self.offset = 2 * lanes
+        self.esc_ptr = len(self.words) if esc_start is None else int(esc_start)
+        self.esc_start = self.esc_ptr
         self.inv = tables.inverse()
 
     def decode_stage(self, indexes: np.ndarray, keep: np.ndarray) -> np.ndarray:
@@ -117,16 +149,37 @@ class StreamDecoder:
                 self.offset += nread
             self.states = np.where(ki, adv, self.states)
             out[step] = np.where(ki, sym + self.tables.offset[ii], 0)
-        return out.reshape(-1)[:n]
+        vals = out.reshape(-1)[:n]
+        # escape substitution: a decoded sentinel value means "exact raw
+        # int32 follows in the escape segment" (same order as decode)
+        idx_f = np.asarray(indexes, np.int64)
+        kp_f = np.asarray(keep, bool)
+        sentinel = self.tables.offset[idx_f] + self.tables.max_symbol[idx_f] + 1
+        esc = kp_f & (vals == sentinel)
+        n_esc = int(esc.sum())
+        if n_esc:
+            j = self.esc_ptr + 2 * (np.cumsum(esc) - 1)
+            lo = self.words[np.where(esc, j, 0)].astype(np.uint32)
+            hi = self.words[np.where(esc, j + 1, 0)].astype(np.uint32)
+            raw = (lo | (hi << 16)).astype(np.int32)
+            vals = np.where(esc, raw, vals)
+            self.esc_ptr += 2 * n_esc
+        return vals
 
     @property
     def stream_ok(self) -> bool:
-        """All lane states returned to L -> the stream was fully consistent."""
-        return bool((self.states == RANS_L).all())
+        """All lane states returned to L, the payload consumed exactly to
+        the escape boundary, and the escape segment fully consumed."""
+        return bool(
+            (self.states == RANS_L).all()
+            and self.offset == self.esc_start
+            and self.esc_ptr == len(self.words)
+        )
 
 
-def decode_stages(stream, tables, stage_meta, lanes: int = DEFAULT_LANES):
+def decode_stages(stream, tables, stage_meta, lanes: int = DEFAULT_LANES,
+                  esc_start: int | None = None):
     """stage_meta: list of (indexes, keep) — convenience full decode."""
-    dec = StreamDecoder(stream, tables, lanes)
+    dec = StreamDecoder(stream, tables, lanes, esc_start)
     outs = [dec.decode_stage(ix, kp) for ix, kp in stage_meta]
     return outs, dec.stream_ok

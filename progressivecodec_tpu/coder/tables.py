@@ -21,15 +21,24 @@ define a K-lane interleaved stream that encodes/decodes as pure SIMD ops:
   * Masked-out elements are *skipped* (consume zero bits) — unlike the
     reference, which spends ~0.05 bits each coding zeros for them
     (CHProg_cnn.py:828-830).
-  * Out-of-table symbols are clamped to the CDF support on both encode and
-    decode (consistent, so round-trips are exact); the reference instead
-    uses 4-bit bypass escapes (rans_interface.cpp:137-162).  With
-    tail_mass 1e-9 supports (~±6.1σ) clamping is ~1e-9-probable per
-    element.  All three implementations (JAX device, C++ host, numpy
-    golden) share this policy and are bit-identical.
+  * Out-of-support symbols are coded LOSSLESSLY via the escape extension
+    (reference semantics: 4-bit bypass escapes, rans_interface.cpp:99-164;
+    redesigned here for SIMD lanes): the row's sentinel index
+    (max_symbol + 1 — the tail-mass entry, frequency >= 1 by the CDF
+    builder's strict-monotonicity invariant) is coded in the rANS stream,
+    and the exact int32 value is appended to the *escape segment* as a
+    fixed-width (lo16, hi16) uint16 pair.  The escape segment follows the
+    payload; escape pairs appear in decode order (stage-major,
+    position-major, lane-minor).  The segment boundary (esc_start) is
+    carried in the container header.  Fixed-width raw values keep both
+    encode-side extraction and decode-side substitution fully vectorized
+    (a cumsum compaction outside the rANS scan).  All three
+    implementations (JAX device, C++ host, numpy golden) are
+    bit-identical, including escapes.
 
 Integrity invariant: after decoding every stage, each lane state must be
-exactly L — checked by the decoder ("stream_ok").
+exactly L, the payload pointer must sit exactly at esc_start, and the
+escape segment must be fully consumed — "stream_ok".
 """
 
 from __future__ import annotations

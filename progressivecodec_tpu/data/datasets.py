@@ -198,6 +198,104 @@ class ImportanceMapDataset:
         return patch, np.asarray(imap[0])
 
 
+def _pink_field(rng: np.random.Generator, h: int, w: int, alpha: float) -> np.ndarray:
+    """(h, w, 3) correlated 1/f^alpha random field, zero-mean ~unit-std."""
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.rfftfreq(w)[None, :]
+    radius = np.sqrt(fy * fy + fx * fx)
+    radius[0, 0] = 1.0
+    filt = radius ** (-alpha)
+    filt[0, 0] = 0.0
+    spec = rng.standard_normal((h, w // 2 + 1, 3)) + 1j * rng.standard_normal(
+        (h, w // 2 + 1, 3)
+    )
+    field = np.fft.irfft2(spec * filt[..., None], s=(h, w), axes=(0, 1))
+    field /= field.std(axis=(0, 1), keepdims=True) + 1e-8
+    # correlate RGB toward a shared luminance direction (natural images
+    # have strongly correlated channels)
+    mix = 0.75 * np.ones((3, 3)) / 3.0 + 0.25 * np.eye(3)
+    return field @ mix.astype(field.dtype)
+
+
+class NaturalSyntheticDataset:
+    """Deterministic synthetic images with natural-image statistics.
+
+    Substitutes for OpenImages in the zero-egress sandbox: 1/f power
+    spectrum (smooth + textured regions), anti-aliased geometric
+    occluders (sharp edges), and a global illumination gradient — the
+    content classes a learned codec's variance-aware mask discriminates.
+    Each index is generated independently from its seed, so the dataset
+    is reproducible and never stored on disk.
+    """
+
+    def __init__(self, n: int = 4000, size: int = 384, seed: int = 0, cache: bool = True):
+        self.n = n
+        self.size = size
+        self.seed = seed
+        # generation is ~130ms/image; cache uint8 (size^2*3 bytes each) so
+        # epochs beyond the first are IO-free (dict writes are GIL-atomic)
+        self._cache: dict[int, np.ndarray] | None = {} if cache else None
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        if self._cache is not None and i in self._cache:
+            return self._cache[i].astype(np.float32) / 255.0
+        img = self.generate(np.random.default_rng(self.seed * 100003 + i), self.size, self.size)
+        if self._cache is not None:
+            self._cache[i] = (img * 255.0 + 0.5).astype(np.uint8)
+        return img
+
+    @staticmethod
+    def generate(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+        alpha = rng.uniform(0.9, 1.7)
+        img = 0.22 * _pink_field(rng, h, w, alpha)
+        # fine texture layer in random regions
+        tex = 0.06 * _pink_field(rng, h, w, 0.4)
+        tex_gate = _pink_field(rng, h, w, 2.2)[..., :1]
+        img += tex * (tex_gate > 0.3)
+        # global illumination gradient
+        yy = np.linspace(-1, 1, h)[:, None, None]
+        xx = np.linspace(-1, 1, w)[None, :, None]
+        g = rng.uniform(-0.15, 0.15, size=(2, 1))
+        img += g[0] * yy + g[1] * xx
+        # anti-aliased geometric occluders (sharp edges, flat/gradient fill)
+        for _ in range(int(rng.integers(2, 6))):
+            cy, cx = rng.uniform(0.1, 0.9) * h, rng.uniform(0.1, 0.9) * w
+            ry, rx = rng.uniform(0.05, 0.35) * h, rng.uniform(0.05, 0.35) * w
+            theta = rng.uniform(0, np.pi)
+            dy, dx = (yy[..., 0] * h / 2 + h / 2 - cy), (xx[:, :, 0] * w / 2 + w / 2 - cx)
+            u = dy * np.cos(theta) + dx * np.sin(theta)
+            v = -dy * np.sin(theta) + dx * np.cos(theta)
+            if rng.random() < 0.5:  # ellipse
+                d = np.sqrt((u / ry) ** 2 + (v / rx) ** 2) - 1.0
+            else:  # rotated rectangle
+                d = np.maximum(np.abs(u) / ry, np.abs(v) / rx) - 1.0
+            cover = np.clip(0.5 - d * 8.0, 0.0, 1.0)[..., None]
+            color = rng.uniform(-0.4, 0.4, size=(3,))
+            grad = rng.uniform(-0.1, 0.1) * (u / max(ry, 1.0))[..., None]
+            img = img * (1 - 0.85 * cover) + (color + grad) * cover * 0.85
+        img += rng.uniform(0.3, 0.7)  # brightness
+        return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+class SyntheticKodak:
+    """A fixed 24-image 768x512 synthetic test set (Kodak geometry) for
+    RD evaluation when the real Kodak set is not on disk."""
+
+    def __init__(self, n: int = 24, seed: int = 77):
+        self.n = n
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed * 9176 + i)
+        return NaturalSyntheticDataset.generate(rng, 512, 768)
+
+
 class SyntheticDataset:
     """Deterministic random images — lets training/benchmarks run in
     environments without a dataset on disk."""

@@ -159,7 +159,13 @@ def _rel_pos_index(wh: int, ww: int) -> np.ndarray:
 
 
 def _shift_attn_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
-    """(-100/0) additive mask for shifted windows (win_attention.py:159-177)."""
+    """Additive mask for shifted windows (win_attention.py:159-177).
+
+    The reference fills masked pairs with -100; for f32 logits of normal
+    scale exp(-100) already underflows to exactly 0, so -1e9 produces
+    IDENTICAL softmax outputs — but stays a true mask even for extreme
+    logits (e.g. escape-coded out-of-distribution latents), which the
+    spatial-tiling exactness invariant relies on."""
     img = np.zeros((h, w))
     cnt = 0
     for hs in (slice(0, h - window), slice(h - window, h - shift), slice(h - shift, None)):
@@ -169,7 +175,7 @@ def _shift_attn_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
     nh, nw = h // window, w // window
     win = img.reshape(nh, window, nw, window).transpose(0, 2, 1, 3).reshape(-1, window * window)
     diff = win[:, None, :] - win[:, :, None]
-    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)  # (nW, ws*ws, ws*ws)
+    return np.where(diff != 0, -1e9, 0.0).astype(np.float32)  # (nW, ws*ws, ws*ws)
 
 
 class WinBasedAttention(nn.Module):

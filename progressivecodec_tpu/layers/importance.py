@@ -65,7 +65,7 @@ def importance_map(
 
     def g_s1(latent):
         def run(m):
-            return m.g_s[1](latent)
+            return m._synth_net(1)(latent)
 
         return model.apply(variables, method=run)
 

@@ -116,14 +116,26 @@ def stacked_channel_mask(
     mask_pol: str = "point-based-std",
     dim_chunk: int = 32,
     division_channel: int = 320,
+    cust_map: jax.Array | None = None,
 ) -> jax.Array:
     """Vectorized mask over all enhancement slices at once.
 
     scale_stack: (S, B, H, W, dim_chunk) — per-(slice, image) ranking, one
     fused quantile instead of S separate calls.  Semantics identical to
-    per-slice :func:`channel_mask`.
+    per-slice :func:`channel_mask`.  cust_map, if given, is a stacked
+    importance map of the same shape and replaces sigma as the ranking
+    source (masking.py:171-194 semantics, per slice).
     """
     s, b = scale_stack.shape[0], scale_stack.shape[1]
+    if cust_map is not None:
+        if pr >= 10:
+            return jnp.ones_like(scale_stack, dtype=jnp.float32)
+        if pr <= 0:
+            return jnp.zeros_like(scale_stack, dtype=jnp.float32)
+        flat = cust_map.reshape(s * b, -1).astype(jnp.float32)
+        q = jnp.quantile(flat, 1.0 - min(pr, 10) * 0.1, axis=1, method="linear")
+        return (flat >= q[:, None]).reshape(scale_stack.shape).astype(jnp.float32)
+
     if mask_pol == "point-based-std":
         if pr >= 10:
             return jnp.ones_like(scale_stack, dtype=jnp.float32)

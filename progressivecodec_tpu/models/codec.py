@@ -1,10 +1,11 @@
-"""Codec orchestration: jitted compress/decompress entry points + container.
+"""Codec base: entropy tables, jitted eval path, container serialization.
 
-The reference drives the codec from Python per image per slice
-(training/step.py:277-404); here each of compress/decompress is ONE jitted
-device program (transforms + mask + rANS), specialized per
-(image shape, quality).  The container adds a tiny host-side header so
-streams are self-describing.
+The real compress/decompress orchestration lives in the granular codec
+(models/codec_granular.py) — the single codec path, so encode and decode
+share every executable whose output feeds an index or mask decision.  The
+container adds a tiny host-side header so streams are self-describing.
+(The reference drives its codec from Python per image per slice,
+training/step.py:277-404.)
 """
 
 from __future__ import annotations
@@ -12,7 +13,6 @@ from __future__ import annotations
 import functools
 import struct
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from progressivecodec_tpu.coder.rans_device import DeviceTables
@@ -70,41 +70,6 @@ class Codec:
 
     # -- jitted paths ---------------------------------------------------
     @functools.cached_property
-    def _compress_jit(self):
-        def fn(variables, x, t, quality, mask_pol, simulate):
-            return self.model.apply(
-                variables,
-                x,
-                quality,
-                mask_pol,
-                t,
-                self.lanes,
-                self.gauss_row0,
-                simulate,
-                method=type(self.model).compress,
-            )
-
-        return jax.jit(fn, static_argnames=("quality", "mask_pol", "simulate"))
-
-    @functools.cached_property
-    def _decompress_jit(self):
-        def fn(variables, stream, t, z_hw, batch, quality, mask_pol):
-            return self.model.apply(
-                variables,
-                stream,
-                z_hw,
-                batch,
-                quality,
-                mask_pol,
-                t,
-                self.lanes,
-                self.gauss_row0,
-                method=type(self.model).decompress,
-            )
-
-        return jax.jit(fn, static_argnames=("z_hw", "batch", "quality", "mask_pol"))
-
-    @functools.cached_property
     def _forward_single_jit(self):
         def fn(variables, x, quality, mask_pol):
             return self.model.apply(
@@ -115,56 +80,26 @@ class Codec:
         return jax.jit(fn, static_argnames=("quality", "mask_pol"))
 
     # -- public API -----------------------------------------------------
-    def compress(
-        self, x, quality: float = 0.0, mask_pol: str | None = None, simulate: bool = False
-    ) -> dict:
-        """x: (B,H,W,3) in [0,1], H,W divisible by 64 -> container dict."""
-        out = self._compress_jit(
-            self.variables, x, self.device_tables, float(quality), mask_pol, simulate
-        )
-        n_words = int(out["n_words"])
-        result = {
-            "stream": np.asarray(out["stream"][:n_words]),
-            "z_shape": tuple(int(v) for v in out["z_shape"]),
-            "batch": int(x.shape[0]),
-            "quality": float(quality),
-            "mask_pol": mask_pol,
-            "num_bytes": 2 * n_words,
-        }
-        if simulate:
-            result["x_hat"] = out["x_hat"]
-        return result
-
-    def decompress(self, data: dict) -> dict:
-        cap = _stream_capacity(data["batch"], data["z_shape"], self.cfg, self.lanes)
-        stream = jnp.zeros((cap,), jnp.uint16).at[: len(data["stream"])].set(
-            jnp.asarray(data["stream"])
-        )
-        out = self._decompress_jit(
-            self.variables,
-            stream,
-            self.device_tables,
-            data["z_shape"],
-            data["batch"],
-            float(data["quality"]),
-            data["mask_pol"],
-        )
-        return out
-
     def forward_single_quality(self, x, quality: float, mask_pol: str | None = None):
         return self._forward_single_jit(self.variables, x, float(quality), mask_pol)
 
     # -- serialization --------------------------------------------------
     def serialize(self, data: dict) -> bytes:
         """Container: magic | quality f32 | batch u16 | z_h u16 | z_w u16 |
-        lanes u16 | mask_pol len+utf8 | n_words u32 | words."""
+        lanes u16 | mask_pol len+utf8 | n_words u32 | n_esc_words u32 |
+        words | escape words."""
         mp = (data["mask_pol"] or self.cfg.mask_policy).encode()
         head = MAGIC + struct.pack(
             "<fHHHHB", data["quality"], data["batch"], *data["z_shape"],
             self.lanes, len(mp),
         )
+        esc = np.asarray(data.get("esc", np.zeros(0, np.uint16)), dtype="<u2")
         words = np.asarray(data["stream"], dtype="<u2").tobytes()
-        return head + mp + struct.pack("<I", len(data["stream"])) + words
+        return (
+            head + mp
+            + struct.pack("<II", len(data["stream"]), len(esc))
+            + words + esc.tobytes()
+        )
 
     def deserialize(self, blob: bytes) -> dict:
         assert blob[:4] == MAGIC, "bad container magic"
@@ -174,10 +109,13 @@ class Codec:
                 f"container coded with {lanes} lanes; codec configured for {self.lanes}"
             )
         mp = blob[17 : 17 + mlen].decode()
-        (n_words,) = struct.unpack("<I", blob[17 + mlen : 21 + mlen])
-        words = np.frombuffer(blob[21 + mlen : 21 + mlen + 2 * n_words], dtype="<u2")
+        n_words, n_esc = struct.unpack("<II", blob[17 + mlen : 25 + mlen])
+        body = blob[25 + mlen :]
+        words = np.frombuffer(body[: 2 * n_words], dtype="<u2")
+        esc = np.frombuffer(body[2 * n_words : 2 * (n_words + n_esc)], dtype="<u2")
         return {
             "stream": words,
+            "esc": esc,
             "z_shape": (zh, zw),
             "batch": batch,
             "quality": quality,

@@ -103,45 +103,32 @@ class GranularCodec(Codec):
 
     @functools.cached_property
     def _J_zquant(self):
-        t = self.device_tables
-
+        # with the escape extension the coder is lossless, so the encoder's
+        # reconstruction is simply the quantized symbol (no clamping)
         def fn(z, med):
             sym = jnp.round(z.astype(jnp.float32) - med).astype(jnp.int32)
             cz = z.shape[-1]
             idx = jnp.broadcast_to(jnp.arange(cz, dtype=jnp.int32), z.shape)
-            lo = t.offset[idx]
-            clamped = jnp.clip(sym, lo, lo + t.max_symbol[idx])
-            z_hat = clamped.astype(jnp.float32) + med
+            z_hat = sym.astype(jnp.float32) + med
             return sym, idx, z_hat
 
         return jax.jit(fn)
 
     @functools.cached_property
     def _J_quant(self):
-        """Elementwise: (y, mu, idx) -> (symbols, clamped values)."""
-        t = self.device_tables
-        g0 = self.gauss_row0
+        """Elementwise: (y, mu, idx) -> (symbols, dequantized values)."""
 
         def fn(y, mu, idx):
             sym = jnp.round((y - mu).astype(jnp.float32)).astype(jnp.int32)
-            rows = idx + g0
-            lo = t.offset[rows]
-            vals = jnp.clip(sym, lo, lo + t.max_symbol[rows])
-            return sym, vals
+            return sym, sym
 
         return jax.jit(fn)
 
     @functools.cached_property
     def _J_quant_masked(self):
-        t = self.device_tables
-        g0 = self.gauss_row0
-
         def fn(y, mu, mask, idx):
             sym = jnp.round(((y - mu) * mask).astype(jnp.float32)).astype(jnp.int32)
-            rows = idx + g0
-            lo = t.offset[rows]
-            vals = jnp.clip(sym, lo, lo + t.max_symbol[rows])
-            return sym, vals
+            return sym, sym
 
         return jax.jit(fn)
 
@@ -161,7 +148,7 @@ class GranularCodec(Codec):
 
         def fn(stream):
             head = stream[: 2 * lanes].astype(jnp.uint32)
-            return head[0::2] | (head[1::2] << 16), jnp.int32(2 * lanes)
+            return head[0::2] | (head[1::2] << 16), jnp.int32(2 * lanes), jnp.int32(0)
 
         return jax.jit(fn)
 
@@ -170,10 +157,10 @@ class GranularCodec(Codec):
         t = self.device_tables
         lanes = self.lanes
 
-        def fn(states, offset, stream, indexes, keep):
-            dec = DecoderState(states, offset)
-            dec, vals = rans_device.decode_stage(dec, stream, indexes, keep, t, lanes)
-            return dec.states, dec.offset, vals
+        def fn(states, offset, esc_offset, stream, esc, indexes, keep):
+            dec = DecoderState(states, offset, esc_offset)
+            dec, vals = rans_device.decode_stage(dec, stream, esc, indexes, keep, t, lanes)
+            return dec.states, dec.offset, dec.esc_offset, vals
 
         return jax.jit(fn)
 
@@ -231,17 +218,20 @@ class GranularCodec(Codec):
     # ---------- public API ----------
 
     def compress(self, x, quality: float = 0.0, mask_pol: str | None = None,
-                 simulate: bool = False, to_host: bool = True, checkpoint_rep=None):
+                 simulate: bool = False, to_host: bool = True, checkpoint_rep=None,
+                 cust_map=None):
         self.update()
         y = self._call("analyze", (), x)
         return self.compress_from_latent(
             y, x.shape, quality=quality, mask_pol=mask_pol,
             simulate=simulate, to_host=to_host, checkpoint_rep=checkpoint_rep,
+            cust_map=cust_map,
         )
 
     def compress_from_latent(self, y, x_shape, quality: float = 0.0,
                              mask_pol: str | None = None, simulate: bool = False,
-                             to_host: bool = True, checkpoint_rep=None):
+                             to_host: bool = True, checkpoint_rep=None,
+                             cust_map=None):
         """Encode from a precomputed latent (e.g. tiled_analyze output)."""
         cfg = self.cfg
         mask_pol = mask_pol or cfg.mask_policy
@@ -274,7 +264,7 @@ class GranularCodec(Codec):
                 y_prog = self._stack_y_prog(y_slices)
                 mu_st, scale_st, mask, keep, idx, ms, base_stack = self._call(
                     "codec_prog_stacked", (float(quality), mask_pol),
-                    lm, ls, tuple(y_hat_base), self._scale_table,
+                    lm, ls, tuple(y_hat_base), self._scale_table, cust_map,
                 )
                 sym, vals = self._J_quant_masked(y_prog, mu_st, mask, idx)
                 stages.append(
@@ -296,7 +286,7 @@ class GranularCodec(Codec):
                         "codec_prog_params", (i, float(quality), mask_pol),
                         lm, ls, tuple(y_hat_base), tuple(mu_total), tuple(std_total),
                         tuple(prog_slices), mu_list[i], std_list[i], cps,
-                        self._scale_table,
+                        self._scale_table, self._map_slice(cust_map, i),
                     )
                     std_total.append(scale if cfg.support_std else mut)
                     mu_total.append(mut)
@@ -315,7 +305,7 @@ class GranularCodec(Codec):
                 if simulate:
                     y_hat_prog_cat = jnp.concatenate(prog_slices, axis=-1)
 
-        stream, n_words = self._J_encode(stages)
+        stream, n_words, esc, n_esc = self._J_encode(stages)
         hz, wz = z.shape[1], z.shape[2]
         common = {
             "z_shape": (hz, wz),
@@ -325,29 +315,43 @@ class GranularCodec(Codec):
         }
         if to_host:
             n_words = int(n_words)
+            n_esc = int(n_esc)
             result = {
                 "stream": np.asarray(stream[:n_words]),
-                "num_bytes": 2 * n_words,
+                "esc": np.asarray(esc[: 2 * n_esc]),
+                "num_bytes": 2 * (n_words + 2 * n_esc),
                 **common,
             }
         else:
-            result = {"stream_dev": stream, "n_words_dev": n_words, **common}
+            result = {
+                "stream_dev": stream, "n_words_dev": n_words,
+                "esc_dev": esc, "n_esc_dev": n_esc, **common,
+            }
         if simulate:
             if quality > 0 and self._progressive:
                 result["x_hat"] = self._call("codec_synth", (1,), y_hat_prog_cat)
+                result["y_hat"] = y_hat_prog_cat
             else:
-                result["x_hat"] = self._call(
-                    "codec_synth", (0,), jnp.concatenate(y_hat_base, axis=-1)
-                )
+                y_hat_b = jnp.concatenate(y_hat_base, axis=-1)
+                result["x_hat"] = self._call("codec_synth", (0,), y_hat_b)
+                result["y_hat"] = y_hat_b
         return result
 
-    def decompress(self, data: dict) -> dict:
-        out = self.decompress_to_latent(data)
+    def _map_slice(self, cust_map, i: int):
+        if cust_map is None:
+            return None
+        dc = self.cfg.dim_chunk
+        return cust_map[..., i * dc : (i + 1) * dc]
+
+    def decompress(self, data: dict, cust_map=None, checkpoint_rep=None) -> dict:
+        out = self.decompress_to_latent(
+            data, cust_map=cust_map, checkpoint_rep=checkpoint_rep
+        )
         which = 0 if (float(data["quality"]) == 0 or not self._progressive) else 1
         x_hat = self._call("codec_synth", (which,), out["y_hat"])
-        return {"x_hat": x_hat, "stream_ok": out["stream_ok"]}
+        return {"x_hat": x_hat, "stream_ok": out["stream_ok"], "y_hat": out["y_hat"]}
 
-    def decompress_to_latent(self, data: dict) -> dict:
+    def decompress_to_latent(self, data: dict, cust_map=None, checkpoint_rep=None) -> dict:
         """Entropy decode + slice reconstruction, stopping before g_s."""
         cfg = self.cfg
         self.update()
@@ -357,30 +361,42 @@ class GranularCodec(Codec):
         hz, wz = data["z_shape"]
         if "stream_dev" in data:
             stream = data["stream_dev"]
+            esc = data["esc_dev"]
         else:
             cap = _stream_capacity(batch, (hz, wz), cfg, self.lanes)
             stream = jnp.zeros((cap,), jnp.uint16).at[: len(data["stream"])].set(
                 jnp.asarray(data["stream"])
             )
+            esc_host = data.get("esc", np.zeros(0, np.uint16))
+            esc = jnp.zeros((2 * cap,), jnp.uint16).at[: len(esc_host)].set(
+                jnp.asarray(esc_host)
+            )
 
-        states, offset = self._J_dec_init(stream)
+        states, offset, esc_offset = self._J_dec_init(stream)
         z_idx = jnp.broadcast_to(
             jnp.arange(cfg.N, dtype=jnp.int32), (batch, hz, wz, cfg.N)
         )
-        states, offset, z_vals = self._J_decode_stage(
-            states, offset, stream, z_idx.reshape(-1), self._ones(z_idx.size)
+        states, offset, esc_offset, z_vals = self._J_decode_stage(
+            states, offset, esc_offset, stream, esc,
+            z_idx.reshape(-1), self._ones(z_idx.size),
         )
         z_hat = z_vals.reshape(batch, hz, wz, cfg.N).astype(jnp.float32) + self._medians()
         lm, ls = self._call("codec_hyper_dec", (), z_hat)
 
-        dec_state = {"states": states, "offset": offset}
+        dec_state = {"states": states, "offset": offset, "esc_offset": esc_offset}
+
+        def _dec_stage(indexes, keep):
+            s, o, eo, vals = self._J_decode_stage(
+                dec_state["states"], dec_state["offset"], dec_state["esc_offset"],
+                stream, esc, indexes, keep,
+            )
+            dec_state["states"], dec_state["offset"], dec_state["esc_offset"] = s, o, eo
+            return vals
 
         def dec_vals(i, mu, idx):
-            s, o, vals = self._J_decode_stage(
-                dec_state["states"], dec_state["offset"], stream,
-                (idx + self.gauss_row0).reshape(-1), self._ones(idx.size),
+            vals = _dec_stage(
+                (idx + self.gauss_row0).reshape(-1), self._ones(idx.size)
             )
-            dec_state["states"], dec_state["offset"] = s, o
             return vals.reshape(mu.shape)
 
         y_hat_base, mu_list, std_list = self._base_loop(lm, ls, dec_vals)
@@ -392,13 +408,9 @@ class GranularCodec(Codec):
         if self._stacked():
             mu_st, scale_st, mask, keep, idx, ms, base_stack = self._call(
                 "codec_prog_stacked", (quality, mask_pol),
-                lm, ls, tuple(y_hat_base), self._scale_table,
+                lm, ls, tuple(y_hat_base), self._scale_table, cust_map,
             )
-            s, o, vals = self._J_decode_stage(
-                dec_state["states"], dec_state["offset"], stream,
-                (idx + self.gauss_row0).reshape(-1), keep.reshape(-1),
-            )
-            dec_state["states"], dec_state["offset"] = s, o
+            vals = _dec_stage((idx + self.gauss_row0).reshape(-1), keep.reshape(-1))
             y_hat_st = self._call(
                 "codec_prog_recon_stacked", (), ms, mu_st,
                 vals.reshape(mu_st.shape), keep, base_stack,
@@ -407,19 +419,19 @@ class GranularCodec(Codec):
         else:
             prog_slices, mu_total, std_total = [], [], []
             for i in range(cfg.num_prog_slices):
+                cps = None
+                if checkpoint_rep is not None:
+                    dc = cfg.dim_chunk
+                    cps = checkpoint_rep[..., i * dc : (i + 1) * dc]
                 mu, scale, mut, mask, keep, idx, ms = self._call(
                     "codec_prog_params", (i, quality, mask_pol),
                     lm, ls, tuple(y_hat_base), tuple(mu_total), tuple(std_total),
-                    tuple(prog_slices), mu_list[i], std_list[i], None,
-                    self._scale_table,
+                    tuple(prog_slices), mu_list[i], std_list[i], cps,
+                    self._scale_table, self._map_slice(cust_map, i),
                 )
                 std_total.append(scale if cfg.support_std else mut)
                 mu_total.append(mut)
-                s, o, vals = self._J_decode_stage(
-                    dec_state["states"], dec_state["offset"], stream,
-                    (idx + self.gauss_row0).reshape(-1), keep.reshape(-1),
-                )
-                dec_state["states"], dec_state["offset"] = s, o
+                vals = _dec_stage((idx + self.gauss_row0).reshape(-1), keep.reshape(-1))
                 prog_slices.append(
                     self._call(
                         "codec_prog_recon", (i,), ms, mu,

@@ -32,8 +32,6 @@ import jax
 import jax.numpy as jnp
 
 from progressivecodec_tpu.config import ModelConfig
-from progressivecodec_tpu.coder import rans_device
-from progressivecodec_tpu.coder.rans_device import DeviceTables
 from progressivecodec_tpu.entropy.bottleneck import EntropyBottleneck
 from progressivecodec_tpu.entropy.gaussian import gaussian_forward, build_indexes
 from progressivecodec_tpu.layers.masking import (
@@ -77,17 +75,22 @@ class ChannelProgressiveWACNN(nn.Module):
         cfg = self.cfg
         n = cfg.N
         d0, d1 = cfg.division_dimension
-        if not cfg.multiple_decoder:
-            raise NotImplementedError("single-decoder progressive variant is not supported")
         if cfg.multiple_encoder:
             self.g_a = [
                 AnalysisTransform(N=n, M=d0, name=f"g_a{i}") for i in range(2)
             ]
         else:
             self.g_a_single = AnalysisTransform(N=n, M=d1, name="g_a")
-        self.g_s = [
-            SynthesisTransform(N=n, M=d0, name=f"g_s{i}") for i in range(2)
-        ]
+        if cfg.multiple_decoder:
+            self.g_s = [
+                SynthesisTransform(N=n, M=d0, name=f"g_s{i}") for i in range(2)
+            ]
+        else:
+            # single-decoder variant (the reference CLI default,
+            # parser.py:53; CHProg_cnn.py:549,909,1066,1173): ONE shared
+            # synthesis decodes both the base latent and the merged
+            # enhancement latent (both d0 channels wide)
+            self.g_s_shared = SynthesisTransform(N=n, M=d0, name="g_s")
         self.h_a = HyperAnalysis(N=n, name="h_a")
         if cfg.multiple_hyperprior:
             self.h_mean_s = [HyperSynthesis(out=d0, name=f"h_mean_s{i}") for i in range(2)]
@@ -158,6 +161,10 @@ class ChannelProgressiveWACNN(nn.Module):
 
     def aux_loss(self):
         return self.entropy_bottleneck.aux_loss()
+
+    def _synth_net(self, which: int):
+        """Decoder dispatch: g_s[which] or the shared single decoder."""
+        return self.g_s[which] if self.cfg.multiple_decoder else self.g_s_shared
 
     def _apply_refine(self, x_hat, index: int):
         cfg = self.cfg
@@ -278,10 +285,12 @@ class ChannelProgressiveWACNN(nn.Module):
         dc = self.cfg.dim_chunk
         return checkpoint_rep[..., i * dc : (i + 1) * dc]
 
-    def _mask_for(self, scale, pr, mask_pol, i, y_base_slice=None):
+    def _mask_for(self, scale, pr, mask_pol, i, y_base_slice=None, cust_map=None):
         """Mask dispatch: parametric policies (conv importance maps,
         masking.py:110-123, 248-259) use the module bank; the rest are the
-        pure functions in layers/masking.py."""
+        pure functions in layers/masking.py.  cust_map: per-slice chunk of
+        a gradient-importance map (CHProg_cnn.py:721,823,964) — overrides
+        the sigma ranking when given."""
         cfg = self.cfg
         if mask_pol is not None and "learnable" in mask_pol:
             # three-levels-learnable semantics: pr 0 -> none, 2 -> all,
@@ -298,6 +307,24 @@ class ChannelProgressiveWACNN(nn.Module):
         return channel_mask(
             scale, pr=pr, mask_pol=mask_pol, slice_index=i,
             dim_chunk=cfg.dim_chunk, division_channel=cfg.division_channel,
+            cust_map=cust_map,
+        )
+
+    def _map_slice(self, cust_map, i: int):
+        """Per-slice chunk of the importance map (cust_map.chunk analog,
+        CHProg_cnn.py:721)."""
+        if cust_map is None:
+            return None
+        dc = self.cfg.dim_chunk
+        return cust_map[..., i * dc : (i + 1) * dc]
+
+    def _map_stack(self, cust_map):
+        if cust_map is None:
+            return None
+        dc = self.cfg.dim_chunk
+        return jnp.stack(
+            [cust_map[..., i * dc : (i + 1) * dc] for i in range(self.cfg.num_prog_slices)],
+            axis=0,
         )
 
     def _z_branch(self, y, training: bool, rng):
@@ -320,6 +347,7 @@ class ChannelProgressiveWACNN(nn.Module):
         training: bool = True,
         rng=None,
         checkpoint_rep=None,
+        cust_map=None,
     ) -> dict[str, Any]:
         cfg = self.cfg
         mask_pol = mask_pol or cfg.mask_policy
@@ -355,7 +383,7 @@ class ChannelProgressiveWACNN(nn.Module):
             y_hat_base.append(y_hat_slice)
 
         y_hat_b = jnp.concatenate(y_hat_base, axis=-1)
-        x_hat_base = self._apply_refine(self.g_s[0](y_hat_b), 0)
+        x_hat_base = self._apply_refine(self._synth_net(0)(y_hat_b), 0)
         x_hats = [x_hat_base]
         y_lik_prog_all = []
         y_hat_enh = y_hat_b
@@ -369,6 +397,7 @@ class ChannelProgressiveWACNN(nn.Module):
                 mask = stacked_channel_mask(
                     scale, pr=q, mask_pol=mask_pol or "point-based-std",
                     dim_chunk=cfg.dim_chunk, division_channel=cfg.division_channel,
+                    cust_map=self._map_stack(cust_map),
                 )
                 mask = apply_mask_noise(mask, False)
                 y_m = (y_prog - mu) * mask
@@ -402,7 +431,9 @@ class ChannelProgressiveWACNN(nn.Module):
                         self._hook_anchor(i, y_hat_base, checkpoint_rep), training, mask_pol,
                     )
 
-                    mask = self._mask_for(scale, q, mask_pol, i, y_hat_base[i])
+                    mask = self._mask_for(
+                        scale, q, mask_pol, i, y_hat_base[i], self._map_slice(cust_map, i)
+                    )
                     mask = apply_mask_noise(mask, training and "learnable" in mask_pol)
 
                     y_m = (y_slice - mu) * mask
@@ -420,7 +451,7 @@ class ChannelProgressiveWACNN(nn.Module):
                     prog_slices.append(y_hat_slice)
 
                 y_hat_enh = jnp.concatenate(prog_slices, axis=-1)
-            x_hat_q = self._apply_refine(self.g_s[1](y_hat_enh), 1)
+            x_hat_q = self._apply_refine(self._synth_net(1)(y_hat_enh), 1)
             x_hats.append(x_hat_q)
             # the per-quality stream codes base + enhancement (step.py bpp accounting)
             y_lik_prog_all.append(
@@ -445,7 +476,7 @@ class ChannelProgressiveWACNN(nn.Module):
 
     def forward_single_quality(
         self, x, quality: float, mask_pol: str | None = None, *, training: bool = False,
-        rng=None, checkpoint_rep=None,
+        rng=None, checkpoint_rep=None, cust_map=None,
     ) -> dict[str, Any]:
         cfg = self.cfg
         mask_pol = mask_pol or cfg.mask_policy
@@ -470,7 +501,7 @@ class ChannelProgressiveWACNN(nn.Module):
 
         if quality == 0:
             y_hat = jnp.concatenate(y_hat_base, axis=-1)
-            x_hat = jnp.clip(self._apply_refine(self.g_s[0](y_hat), 0), 0.0, 1.0)
+            x_hat = jnp.clip(self._apply_refine(self._synth_net(0)(y_hat), 0), 0.0, 1.0)
             return {
                 "x_hat": x_hat,
                 "likelihoods": {"y": jnp.concatenate(y_lik, axis=-1), "z": z_lik},
@@ -489,6 +520,7 @@ class ChannelProgressiveWACNN(nn.Module):
             mask = stacked_channel_mask(
                 scale_st, pr=quality, mask_pol=mask_pol or "point-based-std",
                 dim_chunk=cfg.dim_chunk, division_channel=cfg.division_channel,
+                cust_map=self._map_stack(cust_map),
             )
             mask = apply_mask_noise(mask, False)
             y_m = (y_prog - mu_st) * mask
@@ -521,7 +553,9 @@ class ChannelProgressiveWACNN(nn.Module):
                     i, quality, mu, scale, mu_base_list[i], std_base_list[i],
                     self._hook_anchor(i, y_hat_base, checkpoint_rep), training, mask_pol,
                 )
-                mask = self._mask_for(scale, quality, mask_pol, i, y_hat_base[i])
+                mask = self._mask_for(
+                    scale, quality, mask_pol, i, y_hat_base[i], self._map_slice(cust_map, i)
+                )
                 mask = apply_mask_noise(mask, False)
                 y_m = (y_slice - mu) * mask
                 _, lik = gaussian_forward(y_m, scale * mask, None, training=training, rng=rng)
@@ -536,7 +570,7 @@ class ChannelProgressiveWACNN(nn.Module):
             mu_prog_cat = jnp.concatenate(mu_prog_list, axis=-1)
             std_prog_cat = jnp.concatenate(std_prog_list, axis=-1)
             y_hat_p = jnp.concatenate(prog_slices, axis=-1)
-        x_hat = jnp.clip(self._apply_refine(self.g_s[1](y_hat_p), 1), 0.0, 1.0)
+        x_hat = jnp.clip(self._apply_refine(self._synth_net(1)(y_hat_p), 1), 0.0, 1.0)
         return {
             "x_hat": x_hat,
             "likelihoods": {"y": jnp.concatenate(y_lik, axis=-1), "z": z_lik},
@@ -568,11 +602,13 @@ class ChannelProgressiveWACNN(nn.Module):
         y0 = vals.astype(jnp.float32) + mu
         return y0 + self._base_lrp(i, ms, y0)
 
-    def codec_prog_stacked(self, quality: float, mask_pol, lm, ls, y_hat_base, scale_table):
+    def codec_prog_stacked(self, quality: float, mask_pol, lm, ls, y_hat_base, scale_table,
+                           cust_map=None):
         mu, scale, ms, base_stack = self._prog_params_stacked(lm, ls, list(y_hat_base))
         mask = stacked_channel_mask(
             scale, pr=quality, mask_pol=mask_pol or "point-based-std",
             dim_chunk=self.cfg.dim_chunk, division_channel=self.cfg.division_channel,
+            cust_map=self._map_stack(cust_map),
         )
         keep = jnp.round(mask) > 0.5
         idx = build_indexes(scale, scale_table, 0.11)
@@ -592,7 +628,7 @@ class ChannelProgressiveWACNN(nn.Module):
     def codec_prog_params(
         self, i: int, quality: float, mask_pol, lm, ls, y_hat_base,
         mu_total, std_total, prog_slices, mu_b_i, std_b_i, checkpoint_slice,
-        scale_table,
+        scale_table, cust_map_slice=None,
     ):
         """Unrolled per-slice prog params incl. the refinement hook (REM)
         and the mask — everything whose output feeds index/keep decisions."""
@@ -603,7 +639,7 @@ class ChannelProgressiveWACNN(nn.Module):
         mu, scale = self._refine_prog_params(
             i, quality, mu, scale, mu_b_i, std_b_i, anchor, False, mask_pol
         )
-        mask = self._mask_for(scale, quality, mask_pol, i, y_hat_base[i])
+        mask = self._mask_for(scale, quality, mask_pol, i, y_hat_base[i], cust_map_slice)
         keep = jnp.round(mask) > 0.5
         idx = build_indexes(scale, scale_table, 0.11)
         return mu, scale, mut, mask, keep, idx, ms
@@ -619,252 +655,5 @@ class ChannelProgressiveWACNN(nn.Module):
         return y0
 
     def codec_synth(self, which: int, y_hat):
-        return jnp.clip(self._apply_refine(self.g_s[which](y_hat), which), 0.0, 1.0)
-
-    # ------------------------------------------------------------------
-    # real codec: on-device rANS (CHProg_cnn.py:686-999 semantics)
-    # ------------------------------------------------------------------
-
-    def _clamped_dequant(self, sym, indexes, t: DeviceTables, gauss_row0: int):
-        """Clamp integer symbols to the CDF support of their row (the PCT1
-        coder's tail policy) so the encode path reconstructs exactly what
-        the decoder will."""
-        rows = indexes + gauss_row0
-        lo = t.offset[rows]
-        hi = lo + t.max_symbol[rows]
-        return jnp.clip(sym, lo, hi)
-
-    def compress(
-        self,
-        x,
-        quality: float,
-        mask_pol: str | None,
-        t: DeviceTables,
-        lanes: int,
-        gauss_row0: int,
-        simulate: bool = False,
-    ) -> dict[str, Any]:
-        cfg = self.cfg
-        mask_pol = mask_pol or cfg.mask_policy
-        y = self.analyze(x)
-        z = self.h_a(y)
-
-        med = self.entropy_bottleneck.medians()
-        z_sym = jnp.round(z.astype(jnp.float32) - med).astype(jnp.int32)
-        bz, hz, wz, cz = z.shape
-        z_idx = jnp.broadcast_to(jnp.arange(cz, dtype=jnp.int32), z.shape)
-        z_clamped = self._clamped_dequant(z_sym, z_idx, t, 0)
-        # NOTE: bottleneck rows occupy [0, cz) in the merged table
-        z_hat = z_clamped.astype(jnp.float32) + med
-
-        latent_means, latent_scales = self.hyper_params(z_hat, quality)
-        y_slices = jnp.split(y, cfg.ns1, axis=-1)
-
-        stages = [(z_sym.reshape(-1), z_idx.reshape(-1), jnp.ones(z_sym.size, bool))]
-
-        y_hat_base = []
-        mu_base_list, std_base_list = [], []
-        for i in range(cfg.ns0):
-            mu, scale, mean_support = self._base_slice(
-                i, latent_means, latent_scales, y_hat_base
-            )
-            mu_base_list.append(mu)
-            std_base_list.append(scale)
-            index = self._gauss_indexes(scale)
-            sym = jnp.round((y_slices[i] - mu).astype(jnp.float32)).astype(jnp.int32)
-            stages.append(
-                (sym.reshape(-1), (index + gauss_row0).reshape(-1), jnp.ones(sym.size, bool))
-            )
-            y_q = self._clamped_dequant(sym, index, t, gauss_row0).astype(jnp.float32)
-            y_hat_slice = y_q + mu
-            y_hat_slice = y_hat_slice + self._base_lrp(i, mean_support, y_hat_slice)
-            y_hat_base.append(y_hat_slice)
-
-        if quality > 0:
-            if self._use_stacked_prog():
-                y_prog = self._stack_y_prog(y_slices)
-                mu_st, scale_st, mean_support, base_stack = self._prog_params_stacked(
-                    latent_means, latent_scales, y_hat_base
-                )
-                mask = stacked_channel_mask(
-                    scale_st, pr=quality, mask_pol=mask_pol or "point-based-std",
-                    dim_chunk=cfg.dim_chunk, division_channel=cfg.division_channel,
-                )
-                keep = jnp.round(mask) > 0.5
-                index = self._gauss_indexes(scale_st)
-                sym = jnp.round(((y_prog - mu_st) * mask).astype(jnp.float32)).astype(jnp.int32)
-                stages.append(
-                    (sym.reshape(-1), (index + gauss_row0).reshape(-1), keep.reshape(-1))
-                )
-                y_q = self._clamped_dequant(sym, index, t, gauss_row0).astype(jnp.float32)
-                y_hat_stack = jnp.where(keep, y_q, 0.0) + mu_st
-                if cfg.residual_before_lrp:
-                    y_hat_stack = y_hat_stack + base_stack
-                lrp_support = jnp.concatenate([mean_support, y_hat_stack], axis=-1)
-                y_hat_stack = y_hat_stack + 0.5 * jnp.tanh(self.lrp_prog(lrp_support))
-                if not cfg.residual_before_lrp:
-                    y_hat_stack = y_hat_stack + base_stack
-                prog_slices = [y_hat_stack[i] for i in range(cfg.num_prog_slices)]
-            else:
-                prog_slices = []
-                mu_total, std_total = [], []
-                for i in range(cfg.num_prog_slices):
-                    y_slice = y_slices[cfg.ns0 + i]
-                    if cfg.delta_encode:
-                        y_slice = y_slice - y_slices[i]
-                    mu, scale, mut, mean_support = self._prog_slice(
-                        i, latent_means, latent_scales, y_hat_base, mu_total, std_total, prog_slices
-                    )
-                    std_total.append(scale if cfg.support_std else mut)
-                    mu_total.append(mut)
-                    mu, scale = self._refine_prog_params(
-                        i, quality, mu, scale, mu_base_list[i], std_base_list[i],
-                        y_hat_base[i], False, mask_pol,
-                    )
-                    mask = self._mask_for(scale, quality, mask_pol, i, y_hat_base[i])
-                    keep = jnp.round(mask) > 0.5
-                    index = self._gauss_indexes(scale)
-                    sym = jnp.round(((y_slice - mu) * mask).astype(jnp.float32)).astype(jnp.int32)
-                    stages.append(
-                        (sym.reshape(-1), (index + gauss_row0).reshape(-1), keep.reshape(-1))
-                    )
-                    y_q = self._clamped_dequant(sym, index, t, gauss_row0).astype(jnp.float32)
-                    y_hat_slice = jnp.where(keep, y_q, 0.0) + mu
-                    if cfg.residual_before_lrp:
-                        y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
-                    y_hat_slice = y_hat_slice + self._prog_lrp(i, mean_support, y_hat_slice)
-                    if not cfg.residual_before_lrp:
-                        y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
-                    prog_slices.append(y_hat_slice)
-
-        stream, n_words = rans_device.encode_stages(stages, t, lanes)
-        out = {"stream": stream, "n_words": n_words, "z_shape": (hz, wz)}
-        if simulate:
-            # encoder-side reconstruction (the reference encoder decodes its
-            # own stream, CHProg_cnn.py:704,754,833 — ours is closed-form)
-            if quality > 0:
-                y_hat = jnp.concatenate(prog_slices, axis=-1)
-                out["x_hat"] = jnp.clip(self._apply_refine(self.g_s[1](y_hat), 1), 0.0, 1.0)
-            else:
-                y_hat = jnp.concatenate(y_hat_base, axis=-1)
-                out["x_hat"] = jnp.clip(self._apply_refine(self.g_s[0](y_hat), 0), 0.0, 1.0)
-        return out
-
-    def _gauss_indexes(self, scale):
-        """Scale -> gaussian table row (local row space)."""
-        table = self._scale_table_arr()
-        return build_indexes(scale, table, 0.11)
-
-    def _scale_table_arr(self):
-        import numpy as np
-
-        return jnp.asarray(self.cfg.scale_table.values().astype(np.float32))
-
-    def decompress(
-        self,
-        stream,
-        z_hw: tuple[int, int],
-        batch: int,
-        quality: float,
-        mask_pol: str | None,
-        t: DeviceTables,
-        lanes: int,
-        gauss_row0: int,
-    ) -> dict[str, Any]:
-        cfg = self.cfg
-        mask_pol = mask_pol or cfg.mask_policy
-        hz, wz = z_hw
-        cz = cfg.N
-        dec = rans_device.decoder_init(stream, lanes)
-
-        z_idx = jnp.broadcast_to(
-            jnp.arange(cz, dtype=jnp.int32), (batch, hz, wz, cz)
-        )
-        dec, z_vals = rans_device.decode_stage(
-            dec, stream, z_idx.reshape(-1), jnp.ones(z_idx.size, bool), t, lanes
-        )
-        med = self.entropy_bottleneck.medians()
-        z_hat = z_vals.reshape(batch, hz, wz, cz).astype(jnp.float32) + med
-
-        latent_means, latent_scales = self.hyper_params(z_hat, quality)
-
-        y_hat_base = []
-        mu_base_list, std_base_list = [], []
-        for i in range(cfg.ns0):
-            mu, scale, mean_support = self._base_slice(
-                i, latent_means, latent_scales, y_hat_base
-            )
-            mu_base_list.append(mu)
-            std_base_list.append(scale)
-            index = self._gauss_indexes(scale)
-            dec, vals = rans_device.decode_stage(
-                dec,
-                stream,
-                (index + gauss_row0).reshape(-1),
-                jnp.ones(index.size, bool),
-                t,
-                lanes,
-            )
-            y_hat_slice = vals.reshape(mu.shape).astype(jnp.float32) + mu
-            y_hat_slice = y_hat_slice + self._base_lrp(i, mean_support, y_hat_slice)
-            y_hat_base.append(y_hat_slice)
-
-        if quality == 0:
-            y_hat = jnp.concatenate(y_hat_base, axis=-1)
-            x_hat = jnp.clip(self._apply_refine(self.g_s[0](y_hat), 0), 0.0, 1.0)
-            return {"x_hat": x_hat, "stream_ok": rans_device.stream_ok(dec)}
-
-        if self._use_stacked_prog():
-            mu_st, scale_st, mean_support, base_stack = self._prog_params_stacked(
-                latent_means, latent_scales, y_hat_base
-            )
-            mask = stacked_channel_mask(
-                scale_st, pr=quality, mask_pol=mask_pol or "point-based-std",
-                dim_chunk=cfg.dim_chunk, division_channel=cfg.division_channel,
-            )
-            keep = jnp.round(mask) > 0.5
-            index = self._gauss_indexes(scale_st)
-            dec, vals = rans_device.decode_stage(
-                dec, stream, (index + gauss_row0).reshape(-1), keep.reshape(-1), t, lanes
-            )
-            y_hat_stack = (
-                jnp.where(keep, vals.reshape(mu_st.shape).astype(jnp.float32), 0.0) + mu_st
-            )
-            if cfg.residual_before_lrp:
-                y_hat_stack = y_hat_stack + base_stack
-            lrp_support = jnp.concatenate([mean_support, y_hat_stack], axis=-1)
-            y_hat_stack = y_hat_stack + 0.5 * jnp.tanh(self.lrp_prog(lrp_support))
-            if not cfg.residual_before_lrp:
-                y_hat_stack = y_hat_stack + base_stack
-            y_hat_p = self._unstack_channels(y_hat_stack)
-        else:
-            prog_slices = []
-            mu_total, std_total = [], []
-            for i in range(cfg.num_prog_slices):
-                mu, scale, mut, mean_support = self._prog_slice(
-                    i, latent_means, latent_scales, y_hat_base, mu_total, std_total, prog_slices
-                )
-                std_total.append(scale if cfg.support_std else mut)
-                mu_total.append(mut)
-                mu, scale = self._refine_prog_params(
-                    i, quality, mu, scale, mu_base_list[i], std_base_list[i],
-                    y_hat_base[i], False, mask_pol,
-                )
-                mask = self._mask_for(scale, quality, mask_pol, i, y_hat_base[i])
-                keep = jnp.round(mask) > 0.5
-                index = self._gauss_indexes(scale)
-                dec, vals = rans_device.decode_stage(
-                    dec, stream, (index + gauss_row0).reshape(-1), keep.reshape(-1), t, lanes
-                )
-                y_hat_slice = jnp.where(keep, vals.reshape(mu.shape).astype(jnp.float32), 0.0) + mu
-                if cfg.residual_before_lrp:
-                    y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
-                y_hat_slice = y_hat_slice + self._prog_lrp(i, mean_support, y_hat_slice)
-                if not cfg.residual_before_lrp:
-                    y_hat_slice = self.merge(y_hat_slice, y_hat_base[i], i)
-                prog_slices.append(y_hat_slice)
-
-            y_hat_p = jnp.concatenate(prog_slices, axis=-1)
-        x_hat = jnp.clip(self._apply_refine(self.g_s[1](y_hat_p), 1), 0.0, 1.0)
-        return {"x_hat": x_hat, "stream_ok": rans_device.stream_ok(dec)}
+        return jnp.clip(self._apply_refine(self._synth_net(which)(y_hat), which), 0.0, 1.0)
 

@@ -98,6 +98,51 @@ def _interval_index(quality: float, check_levels) -> int:
     return 2
 
 
+def escalation_compress(codec, x, quality: float, mask_pol: str | None = None):
+    """Cascaded ("escalation") REAL-codec encode (CHProgREM.py:337-372
+    semantics on the codec path): one stream per checkpoint level below the
+    target quality, each encoded with the previous level's reconstructed
+    latent as the refinement anchor, then the target-quality stream.
+
+    The anchor at every level is the codec's own reconstruction — computed
+    by the SAME shared executables the decoder will run (and the coder is
+    lossless), so encoder and decoder representations are bit-identical.
+    Returns {"checkpoints": [container...], "final": container}.
+    """
+    cl = [q for q in codec.cfg.check_levels if q < quality]
+    y = codec._call("analyze", (), x)
+    rep = None
+    checkpoints = []
+    for q in cl:
+        d = codec.compress_from_latent(
+            y, x.shape, quality=float(q), mask_pol=mask_pol,
+            checkpoint_rep=rep, simulate=True,
+        )
+        rep = d.pop("y_hat")
+        d.pop("x_hat", None)
+        checkpoints.append(d)
+    final = codec.compress_from_latent(
+        y, x.shape, quality=float(quality), mask_pol=mask_pol,
+        checkpoint_rep=rep, simulate=True,
+    )
+    return {"checkpoints": checkpoints, "final": final}
+
+
+def escalation_decompress(codec, data: dict) -> dict:
+    """Decoder-side cascade: decode each checkpoint stream (feeding the
+    previous reconstruction forward as the refinement anchor, cf.
+    decompress_check_rep, CHProgREM.py:891-893), then the final stream."""
+    rep = None
+    ok = True
+    for d in data["checkpoints"]:
+        out = codec.decompress_to_latent(d, checkpoint_rep=rep)
+        ok = ok and bool(out["stream_ok"])
+        rep = out["y_hat"]
+    out = codec.decompress(data["final"], checkpoint_rep=rep)
+    return {"x_hat": out["x_hat"], "stream_ok": ok and bool(out["stream_ok"]),
+            "y_hat": out["y_hat"]}
+
+
 def extract_checkpoint_representation(model, variables, x, mask_pol: str = "point-based-std"):
     """Cascaded ("escalation") refinement: run the codec at each checkpoint
     quality, feeding the previous level's latent as the refinement anchor

@@ -15,8 +15,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from progressivecodec_tpu.coder import rans_device
-from progressivecodec_tpu.coder.rans_device import DeviceTables
 from progressivecodec_tpu.config import ModelConfig
 from progressivecodec_tpu.entropy.bottleneck import EntropyBottleneck
 from progressivecodec_tpu.entropy.gaussian import gaussian_forward, build_indexes
@@ -148,7 +146,7 @@ class WACNN(nn.Module):
     def codec_synth(self, which: int, y_hat):
         return jnp.clip(self.g_s(y_hat), 0.0, 1.0)
 
-    # ---- real codec (cnn.py:214-336 semantics, on-device rANS) ----
+    # ---- eval alias ----
 
     def forward_single_quality(self, x, quality=0.0, mask_pol=None, *, training=False, rng=None):
         """Quality-agnostic alias so WACNN plugs into the shared Codec/eval
@@ -156,79 +154,3 @@ class WACNN(nn.Module):
         out = self(x, training=training, rng=rng)
         out["x_hat"] = jnp.clip(out["x_hat"], 0.0, 1.0)
         return out
-
-    def _clamped_dequant(self, sym, indexes, t: DeviceTables, gauss_row0: int):
-        rows = indexes + gauss_row0
-        lo = t.offset[rows]
-        hi = lo + t.max_symbol[rows]
-        return jnp.clip(sym, lo, hi)
-
-    def _gauss_indexes(self, scale):
-        table = jnp.asarray(self.cfg.scale_table.values().astype("float32"))
-        return build_indexes(scale, table, 0.11)
-
-    def compress(self, x, quality, mask_pol, t: DeviceTables, lanes: int, gauss_row0: int,
-                 simulate: bool = False):
-        cfg = self.cfg
-        y = self.g_a(x)
-        z = self.h_a(y)
-        med = self.entropy_bottleneck.medians()
-        z_sym = jnp.round(z.astype(jnp.float32) - med).astype(jnp.int32)
-        bz, hz, wz, cz = z.shape
-        z_idx = jnp.broadcast_to(jnp.arange(cz, dtype=jnp.int32), z.shape)
-        z_hat = self._clamped_dequant(z_sym, z_idx, t, 0).astype(jnp.float32) + med
-
-        latent_means = self.h_mean_s(z_hat)
-        latent_scales = self.h_scale_s(z_hat)
-        y_slices = jnp.split(y, self.num_slices, axis=-1)
-        stages = [(z_sym.reshape(-1), z_idx.reshape(-1), jnp.ones(z_sym.size, bool))]
-        y_hat_slices = []
-        for i, y_slice in enumerate(y_slices):
-            support = y_hat_slices[: min(i, cfg.max_support_slices)]
-            mu, scale, mean_support = self.slice_params(i, latent_means, latent_scales, support)
-            index = self._gauss_indexes(scale)
-            sym = jnp.round((y_slice - mu).astype(jnp.float32)).astype(jnp.int32)
-            stages.append(
-                (sym.reshape(-1), (index + gauss_row0).reshape(-1), jnp.ones(sym.size, bool))
-            )
-            y_q = self._clamped_dequant(sym, index, t, gauss_row0).astype(jnp.float32)
-            y_hat_slice = y_q + mu
-            y_hat_slice = y_hat_slice + self.slice_lrp(i, mean_support, y_hat_slice)
-            y_hat_slices.append(y_hat_slice)
-
-        stream, n_words = rans_device.encode_stages(stages, t, lanes)
-        out = {"stream": stream, "n_words": n_words, "z_shape": (hz, wz)}
-        if simulate:
-            y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-            out["x_hat"] = jnp.clip(self.g_s(y_hat), 0.0, 1.0)
-        return out
-
-    def decompress(self, stream, z_hw, batch, quality, mask_pol, t: DeviceTables,
-                   lanes: int, gauss_row0: int):
-        cfg = self.cfg
-        hz, wz = z_hw
-        cz = cfg.N
-        dec = rans_device.decoder_init(stream, lanes)
-        z_idx = jnp.broadcast_to(jnp.arange(cz, dtype=jnp.int32), (batch, hz, wz, cz))
-        dec, z_vals = rans_device.decode_stage(
-            dec, stream, z_idx.reshape(-1), jnp.ones(z_idx.size, bool), t, lanes
-        )
-        med = self.entropy_bottleneck.medians()
-        z_hat = z_vals.reshape(batch, hz, wz, cz).astype(jnp.float32) + med
-        latent_means = self.h_mean_s(z_hat)
-        latent_scales = self.h_scale_s(z_hat)
-        y_hat_slices = []
-        for i in range(self.num_slices):
-            support = y_hat_slices[: min(i, cfg.max_support_slices)]
-            mu, scale, mean_support = self.slice_params(i, latent_means, latent_scales, support)
-            index = self._gauss_indexes(scale)
-            dec, vals = rans_device.decode_stage(
-                dec, stream, (index + gauss_row0).reshape(-1),
-                jnp.ones(index.size, bool), t, lanes,
-            )
-            y_hat_slice = vals.reshape(mu.shape).astype(jnp.float32) + mu
-            y_hat_slice = y_hat_slice + self.slice_lrp(i, mean_support, y_hat_slice)
-            y_hat_slices.append(y_hat_slice)
-        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        x_hat = jnp.clip(self.g_s(y_hat), 0.0, 1.0)
-        return {"x_hat": x_hat, "stream_ok": rans_device.stream_ok(dec)}

@@ -9,7 +9,7 @@ import pytest
 
 from progressivecodec_tpu.config import ModelConfig, ScaleTableConfig
 from progressivecodec_tpu.models.progressive import ChannelProgressiveWACNN
-from progressivecodec_tpu.models.codec import Codec
+from progressivecodec_tpu.models.codec_granular import GranularCodec as Codec
 
 TINY = ModelConfig(
     name="channel",
@@ -145,3 +145,33 @@ def test_stacked_matches_unrolled():
         np.asarray(out_u["likelihoods"]["y"]),
         rtol=2e-2, atol=1e-5,
     )
+
+
+def test_single_decoder_variant_forward_and_codec():
+    """multiple_decoder=False (the reference CLI default, parser.py:53):
+    ONE shared g_s decodes both base and merged enhancement latents
+    (CHProg_cnn.py:549,909,1066,1173)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, multiple_decoder=False)
+    model = ChannelProgressiveWACNN(cfg=cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(lambda r, xx: model.init({"params": r}, xx, training=False))(
+        jax.random.PRNGKey(0), x
+    )
+    # exactly one synthesis decoder in the tree
+    assert "g_s" in variables["params"]
+    assert "g_s0" not in variables["params"] and "g_s1" not in variables["params"]
+
+    xr = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    out = model.apply(variables, xr, [0, 10], None, training=False)
+    assert out["x_hat"].shape == (2, 1, 64, 64, 3)
+
+    codec = Codec(model, variables, lanes=64)
+    for q in [0, 5]:
+        data = codec.compress(xr, quality=q, simulate=True)
+        dec = codec.decompress(data)
+        assert bool(dec["stream_ok"]), f"q={q}"
+        np.testing.assert_allclose(
+            np.asarray(dec["x_hat"]), np.asarray(data["x_hat"]), atol=1e-5
+        )

@@ -1,4 +1,5 @@
-"""Native C++ coder vs numpy golden implementation: bit-identity."""
+"""Native C++ coder vs numpy golden implementation: bit-identity,
+including the lossless escape extension."""
 
 import numpy as np
 import pytest
@@ -26,21 +27,22 @@ def _payload(rng, tables, n, keep_p=1.0):
 def test_native_encode_matches_numpy(rng, gtables):
     stages = [_payload(rng, gtables, n, kp) for n, kp in [(1000, 1.0), (333, 0.4), (64, 0.0)]]
     for lanes in (8, 64, 512):
-        ref = rans_numpy.encode_stages(stages, gtables, lanes)
-        got = rans_host.encode_stages(stages, gtables, lanes)
+        ref, ref_esc = rans_numpy.encode_stages(stages, gtables, lanes)
+        got, got_esc = rans_host.encode_stages(stages, gtables, lanes)
+        assert got_esc == ref_esc
         np.testing.assert_array_equal(got, ref)
 
 
 def test_native_decode_roundtrip(rng, gtables):
     lanes = 128
     stages = [_payload(rng, gtables, n, kp) for n, kp in [(5000, 0.7), (100, 1.0)]]
-    stream = rans_host.encode_stages(stages, gtables, lanes)
+    stream, esc_start = rans_host.encode_stages(stages, gtables, lanes)
     outs, ok = rans_host.decode_stages(
-        stream, gtables, [(i, k) for _, i, k in stages], lanes
+        stream, gtables, [(i, k) for _, i, k in stages], lanes, esc_start
     )
     assert ok
     ref_outs, ref_ok = rans_numpy.decode_stages(
-        stream, gtables, [(i, k) for _, i, k in stages], lanes
+        stream, gtables, [(i, k) for _, i, k in stages], lanes, esc_start
     )
     assert ref_ok
     for got, ref in zip(outs, ref_outs):
@@ -51,10 +53,24 @@ def test_native_cross_decode(rng, gtables):
     """numpy-encoded stream decodes bit-exactly with the native decoder."""
     lanes = 32
     sym, idx, keep = _payload(rng, gtables, 2048, 0.5)
-    stream = rans_numpy.encode_stages([(sym, idx, keep)], gtables, lanes)
-    outs, ok = rans_host.decode_stages(stream, gtables, [(idx, keep)], lanes)
+    stream, esc_start = rans_numpy.encode_stages([(sym, idx, keep)], gtables, lanes)
+    outs, ok = rans_host.decode_stages(stream, gtables, [(idx, keep)], lanes, esc_start)
     assert ok
-    expect = np.where(
-        keep, rans_numpy.clamp_symbols(sym, idx, gtables) + gtables.offset[idx], 0
-    )
-    np.testing.assert_array_equal(outs[0], expect)
+    np.testing.assert_array_equal(outs[0], np.where(keep, sym, 0))
+
+
+def test_native_escape_roundtrip_lossless(rng, gtables):
+    """Out-of-support symbols (incl. int32 extremes) round-trip exactly on
+    the native coder and streams are bit-identical to the numpy golden."""
+    lanes = 16
+    idx = np.zeros(300, np.int32)  # narrowest support row
+    sym = (rng.standard_normal(300) * 800).astype(np.int32)
+    sym[:4] = [2**31 - 1, -(2**31), 31337, -31337]
+    keep = rng.random(300) < 0.85
+    ref, ref_esc = rans_numpy.encode_stages([(sym, idx, keep)], gtables, lanes)
+    got, got_esc = rans_host.encode_stages([(sym, idx, keep)], gtables, lanes)
+    assert got_esc == ref_esc and ref_esc < len(ref)
+    np.testing.assert_array_equal(got, ref)
+    outs, ok = rans_host.decode_stages(got, gtables, [(idx, keep)], lanes, got_esc)
+    assert ok
+    np.testing.assert_array_equal(outs[0], np.where(keep, sym, 0))

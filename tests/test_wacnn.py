@@ -7,7 +7,7 @@ import pytest
 
 from progressivecodec_tpu.config import ModelConfig, ScaleTableConfig
 from progressivecodec_tpu.models.wacnn import WACNN
-from progressivecodec_tpu.models.codec import Codec
+from progressivecodec_tpu.models.codec_granular import GranularCodec as Codec
 
 TINY = ModelConfig(
     name="cnn", N=32, M=64, dim_chunk=8, division_dimension=(32, 64),
