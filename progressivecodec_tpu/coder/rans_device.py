@@ -127,6 +127,67 @@ def encode_stage_scan(states: jax.Array, v: jax.Array, idx: jax.Array, keep: jax
     return states, words[::-1], flags[::-1]
 
 
+def _stage_grids(stages, t: DeviceTables, lanes: int):
+    """Concatenate every stage's padded (P, K) grids: (v, idx, kp, sym)."""
+    v_all, idx_all, kp_all, sym_all = [], [], [], []
+    for symbols, indexes, keep in stages:
+        keep = keep.astype(bool)
+        kp_grid = _pad_to_grid(keep, lanes)
+        idx_grid = _pad_to_grid(indexes.astype(jnp.int32), lanes)
+        sym_grid = _pad_to_grid(symbols.astype(jnp.int32), lanes)
+        v, _ = split_escapes(
+            sym_grid.reshape(-1), idx_grid.reshape(-1), kp_grid.reshape(-1), t
+        )
+        v_all.append(v.reshape(kp_grid.shape))
+        idx_all.append(idx_grid)
+        kp_all.append(kp_grid)
+        sym_all.append(sym_grid)
+    return (
+        jnp.concatenate(v_all, axis=0),
+        jnp.concatenate(idx_all, axis=0),
+        jnp.concatenate(kp_all, axis=0),
+        jnp.concatenate(sym_all, axis=0),
+    )
+
+
+def encode_grids(v, idx, kp, sym, t: DeviceTables, lanes: int):
+    """Encode pre-gridded (P, K) stage data into one PCT1 stream.
+
+    The shared kernel of the single-stream, fused-grouped, and sharded
+    encoders — a given (grids, lanes) always produces identical bytes.
+    Returns (stream (2K+P*K,), n_words, esc (2*P*K,), n_esc).
+    """
+    states = jnp.full((lanes,), RANS_L, dtype=jnp.uint32)
+    states, words, flags = encode_stage_scan(states, v, idx, kp, t)
+
+    words = words.reshape(-1)
+    flags = flags.reshape(-1)
+
+    # compact flagged words preserving order
+    n_payload = flags.sum(dtype=jnp.int32)
+    pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    cap = words.shape[0]
+    payload = jnp.zeros((cap,), jnp.uint16)
+    payload = payload.at[jnp.where(flags, pos, cap)].set(words, mode="drop")
+
+    # escape segment: compact raw values of escaped symbols, decode order
+    sym_f = sym.reshape(-1)
+    _, esc_flags = split_escapes(sym_f, idx.reshape(-1), kp.reshape(-1), t)
+    n_esc = esc_flags.sum(dtype=jnp.int32)
+    epos = jnp.cumsum(esc_flags.astype(jnp.int32)) - 1
+    raw = sym_f.astype(jnp.uint32)
+    esc = jnp.zeros((2 * cap,), jnp.uint16)
+    tgt = jnp.where(esc_flags, 2 * epos, 2 * cap)
+    esc = esc.at[tgt].set((raw & _MASK16).astype(jnp.uint16), mode="drop")
+    esc = esc.at[tgt + 1].set((raw >> 16).astype(jnp.uint16), mode="drop")
+
+    head = jnp.zeros((2 * lanes,), jnp.uint16)
+    head = head.at[0::2].set((states & _MASK16).astype(jnp.uint16))
+    head = head.at[1::2].set((states >> 16).astype(jnp.uint16))
+    stream = jnp.concatenate([head, payload])
+    return stream, n_payload + 2 * lanes, esc, n_esc
+
+
 def encode_stages(stages, t: DeviceTables, lanes: int = DEFAULT_LANES):
     """stages: list of (symbols (n,), indexes (n,), keep (n,) bool) device
     arrays, in decode order.  Returns
@@ -142,52 +203,8 @@ def encode_stages(stages, t: DeviceTables, lanes: int = DEFAULT_LANES):
     on symbols, not coder state): exact raw int32 values as (lo, hi) uint16
     pairs in decode order; n_esc counts escapes (esc words used = 2*n_esc).
     """
-    states = jnp.full((lanes,), RANS_L, dtype=jnp.uint32)
-    v_all, idx_all, kp_all, sym_all = [], [], [], []
-    for symbols, indexes, keep in stages:
-        keep = keep.astype(bool)
-        kp_grid = _pad_to_grid(keep, lanes)
-        idx_grid = _pad_to_grid(indexes.astype(jnp.int32), lanes)
-        v, _ = split_escapes(
-            _pad_to_grid(symbols.astype(jnp.int32), lanes).reshape(-1),
-            idx_grid.reshape(-1), kp_grid.reshape(-1), t,
-        )
-        v_all.append(v.reshape(kp_grid.shape))
-        idx_all.append(idx_grid)
-        kp_all.append(kp_grid)
-        sym_all.append(_pad_to_grid(symbols.astype(jnp.int32), lanes))
-    v = jnp.concatenate(v_all, axis=0)
-    idx = jnp.concatenate(idx_all, axis=0)
-    kp = jnp.concatenate(kp_all, axis=0)
-    sym = jnp.concatenate(sym_all, axis=0).reshape(-1)
-    states, words, flags = encode_stage_scan(states, v, idx, kp, t)
-
-    words = words.reshape(-1)
-    flags = flags.reshape(-1)
-
-    # compact flagged words preserving order
-    n_payload = flags.sum(dtype=jnp.int32)
-    pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
-    cap = words.shape[0]
-    payload = jnp.zeros((cap,), jnp.uint16)
-    payload = payload.at[jnp.where(flags, pos, cap)].set(words, mode="drop")
-
-    # escape segment: compact raw values of escaped symbols, decode order
-    _, esc_flags = split_escapes(sym, idx.reshape(-1), kp.reshape(-1), t)
-    esc_flags = esc_flags.reshape(-1)
-    n_esc = esc_flags.sum(dtype=jnp.int32)
-    epos = jnp.cumsum(esc_flags.astype(jnp.int32)) - 1
-    raw = sym.astype(jnp.uint32)
-    esc = jnp.zeros((2 * cap,), jnp.uint16)
-    tgt = jnp.where(esc_flags, 2 * epos, 2 * cap)
-    esc = esc.at[tgt].set((raw & _MASK16).astype(jnp.uint16), mode="drop")
-    esc = esc.at[tgt + 1].set((raw >> 16).astype(jnp.uint16), mode="drop")
-
-    head = jnp.zeros((2 * lanes,), jnp.uint16)
-    head = head.at[0::2].set((states & _MASK16).astype(jnp.uint16))
-    head = head.at[1::2].set((states >> 16).astype(jnp.uint16))
-    stream = jnp.concatenate([head, payload])
-    return stream, n_payload + 2 * lanes, esc, n_esc
+    v, idx, kp, sym = _stage_grids(stages, t, lanes)
+    return encode_grids(v, idx, kp, sym, t, lanes)
 
 
 def decoder_init(stream: jax.Array, lanes: int = DEFAULT_LANES) -> DecoderState:
@@ -258,4 +275,149 @@ def decode_stage(
 
 
 def stream_ok(dec: DecoderState) -> jax.Array:
+    return (dec.states == jnp.uint32(RANS_L)).all()
+
+
+# ---------------------------------------------------------------------------
+# Grouped (shardable) format: G independent PCT1 sub-streams (PCT1-G)
+# ---------------------------------------------------------------------------
+#
+# Group g owns lanes [g*K/G, (g+1)*K/G); its sub-stream is the standalone
+# PCT1 encoding of those lanes' symbols with K/G lanes.  Bit-identical to
+# rans_numpy.encode_stages_grouped.  Because groups never interact, the
+# fused single-device path runs ONE scan over all K lanes and compacts
+# per group; a mesh shards the same computation over its devices
+# (parallel/sharded_coder.py), producing byte-identical sub-streams.
+
+
+class GroupedDecoderState(NamedTuple):
+    states: jax.Array  # (K,) uint32 — all groups' lane states
+    offsets: jax.Array  # (G,) int32 — per-group payload word index
+    esc_offsets: jax.Array  # (G,) int32 — per-group escape word index
+
+
+def encode_stages_grouped(stages, t: DeviceTables, lanes: int = DEFAULT_LANES,
+                          groups: int = 1):
+    """Returns (streams (G, cap), n_words (G,), escs (G, 2*cap), n_escs (G,))
+    where cap = 2*K/G + total padded positions * K/G."""
+    assert lanes % groups == 0
+    kt = lanes // groups
+    states = jnp.full((lanes,), RANS_L, dtype=jnp.uint32)
+    v, idx, kp, sym = _stage_grids(stages, t, lanes)
+    states, words, flags = encode_stage_scan(states, v, idx, kp, t)
+
+    p_total = words.shape[0]
+    cap = p_total * kt
+
+    # per-group payload compaction: group-major (p, local-lane) order
+    def to_groups(x):  # (P, K) -> (G, P*Kt)
+        return x.reshape(p_total, groups, kt).transpose(1, 0, 2).reshape(groups, -1)
+
+    gw = to_groups(words)
+    gf = to_groups(flags)
+    n_words = gf.sum(axis=1, dtype=jnp.int32)
+    pos = jnp.cumsum(gf.astype(jnp.int32), axis=1) - 1
+    payload = jnp.zeros((groups, cap), jnp.uint16)
+    rows = jnp.broadcast_to(jnp.arange(groups)[:, None], gf.shape)
+    payload = payload.at[rows, jnp.where(gf, pos, cap)].set(gw, mode="drop")
+
+    # per-group escape segments
+    _, esc_flags = split_escapes(sym.reshape(-1), idx.reshape(-1), kp.reshape(-1), t)
+    ge = to_groups(esc_flags.reshape(p_total, lanes))
+    graw = to_groups(sym).astype(jnp.uint32)
+    n_escs = ge.sum(axis=1, dtype=jnp.int32)
+    epos = jnp.cumsum(ge.astype(jnp.int32), axis=1) - 1
+    escs = jnp.zeros((groups, 2 * cap), jnp.uint16)
+    tgt = jnp.where(ge, 2 * epos, 2 * cap)
+    escs = escs.at[rows, tgt].set((graw & _MASK16).astype(jnp.uint16), mode="drop")
+    escs = escs.at[rows, tgt + 1].set((graw >> 16).astype(jnp.uint16), mode="drop")
+
+    # per-group lane-state heads
+    gs = states.reshape(groups, kt)
+    head = jnp.zeros((groups, 2 * kt), jnp.uint16)
+    head = head.at[:, 0::2].set((gs & _MASK16).astype(jnp.uint16))
+    head = head.at[:, 1::2].set((gs >> 16).astype(jnp.uint16))
+    streams = jnp.concatenate([head, payload], axis=1)
+    return streams, n_words + 2 * kt, escs, n_escs
+
+
+def grouped_decoder_init(streams: jax.Array, lanes: int, groups: int) -> GroupedDecoderState:
+    """streams: (G, cap) — each row a PCT1 sub-stream with K/G lanes."""
+    kt = lanes // groups
+    head = streams[:, : 2 * kt].astype(jnp.uint32)
+    states = (head[:, 0::2] | (head[:, 1::2] << 16)).reshape(-1)
+    return GroupedDecoderState(
+        states=states,
+        offsets=jnp.full((groups,), 2 * kt, jnp.int32),
+        esc_offsets=jnp.zeros((groups,), jnp.int32),
+    )
+
+
+def decode_stage_grouped(
+    dec: GroupedDecoderState,
+    streams: jax.Array,
+    escs: jax.Array,
+    indexes: jax.Array,
+    keep: jax.Array,
+    t: DeviceTables,
+    lanes: int = DEFAULT_LANES,
+    groups: int = 1,
+):
+    """Decode one stage across all groups in lock-step; returns
+    (dec', values (n,) int32) in global symbol order."""
+    kt = lanes // groups
+    n = indexes.shape[0]
+    idx = _pad_to_grid(indexes.astype(jnp.int32), lanes)
+    kp = _pad_to_grid(keep.astype(bool), lanes)
+    streams = jnp.concatenate(
+        [streams, jnp.zeros((groups, kt), jnp.uint16)], axis=1
+    )
+
+    def step(carry, inp):
+        states, offsets = carry
+        ii, ki = inp
+        cum = states & _MASK16
+        lin = (ii << 16) + cum.astype(jnp.int32)
+        sf = t.dec_sf[lin]
+        start = sf >> 16
+        freq = sf & _MASK16
+        adv = freq * (states >> 16) + cum - start
+        flag = ki & (adv < jnp.uint32(RANS_L))
+        gflag = flag.reshape(groups, kt)
+        csum = jnp.cumsum(gflag.astype(jnp.int32), axis=1)
+        window = jax.vmap(
+            lambda s, o: jax.lax.dynamic_slice(s, (o,), (kt,))
+        )(streams, offsets)
+        w = jnp.take_along_axis(
+            window, jnp.clip(csum - 1, 0, kt - 1), axis=1
+        ).reshape(-1).astype(jnp.uint32)
+        adv = jnp.where(flag, (adv << 16) | w, adv)
+        states = jnp.where(ki, adv, states)
+        offsets = offsets + csum[:, -1]
+        vals = jnp.where(ki, t.dec_val[lin], 0)
+        return (states, offsets), vals
+
+    (states, offsets), vals = jax.lax.scan(step, (dec.states, dec.offsets), (idx, kp))
+    p_total = idx.shape[0]
+
+    # per-group escape substitution in group order
+    idx_g = idx.reshape(p_total, groups, kt).transpose(1, 0, 2).reshape(groups, -1)
+    kp_g = kp.reshape(p_total, groups, kt).transpose(1, 0, 2).reshape(groups, -1)
+    vals_g = vals.reshape(p_total, groups, kt).transpose(1, 0, 2).reshape(groups, -1)
+    sentinel = t.offset[idx_g] + t.max_symbol[idx_g] + 1
+    esc_flag = kp_g & (vals_g == sentinel)
+    j = dec.esc_offsets[:, None] + 2 * (jnp.cumsum(esc_flag.astype(jnp.int32), axis=1) - 1)
+    safe = jnp.where(esc_flag, j, 0)
+    rows = jnp.broadcast_to(jnp.arange(groups)[:, None], esc_flag.shape)
+    lo = escs[rows, jnp.clip(safe, 0, escs.shape[1] - 1)].astype(jnp.uint32)
+    hi = escs[rows, jnp.clip(safe + 1, 0, escs.shape[1] - 1)].astype(jnp.uint32)
+    raw = (lo | (hi << 16)).astype(jnp.int32)
+    vals_g = jnp.where(esc_flag, raw, vals_g)
+    esc_offsets = dec.esc_offsets + 2 * esc_flag.sum(axis=1, dtype=jnp.int32)
+
+    vals = vals_g.reshape(groups, p_total, kt).transpose(1, 0, 2).reshape(-1)[:n]
+    return GroupedDecoderState(states, offsets, esc_offsets), vals
+
+
+def grouped_stream_ok(dec: GroupedDecoderState) -> jax.Array:
     return (dec.states == jnp.uint32(RANS_L)).all()

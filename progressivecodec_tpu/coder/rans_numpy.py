@@ -183,3 +183,72 @@ def decode_stages(stream, tables, stage_meta, lanes: int = DEFAULT_LANES,
     dec = StreamDecoder(stream, tables, lanes, esc_start)
     outs = [dec.decode_stage(ix, kp) for ix, kp in stage_meta]
     return outs, dec.stream_ok
+
+
+# ---------------------------------------------------------------------------
+# Grouped (shardable) format: G independent PCT1 sub-streams
+# ---------------------------------------------------------------------------
+#
+# PCT1-G partitions the K lanes into G equal groups; group g independently
+# codes the symbols whose global lane (i mod K) falls in its block, as a
+# standalone PCT1 stream with K/G lanes.  The format is TOPOLOGY-
+# INDEPENDENT: one chip or an n-device mesh produce byte-identical
+# sub-streams, and a mesh runs the G scans concurrently (one per device) —
+# sharding the coder phase (SURVEY.md §7.7).
+
+
+def _group_slice(arr, lanes: int, groups: int, g: int):
+    """Symbols of one stage that belong to lane-group g, in the group's
+    own (position, local-lane) order."""
+    kt = lanes // groups
+    n = len(arr)
+    p = _stage_grid(n, lanes)
+    pad = p * lanes - n
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, arr.dtype)])
+    return arr.reshape(p, lanes)[:, g * kt : (g + 1) * kt].reshape(-1)
+
+
+def encode_stages_grouped(stages, tables: CoderTables, lanes: int = DEFAULT_LANES,
+                          groups: int = 1):
+    """Returns (list of (words, esc_start) per group).  groups must divide
+    lanes; group g is the PCT1 encoding (with lanes/groups lanes) of its
+    lane-block symbols."""
+    assert lanes % groups == 0
+    out = []
+    for g in range(groups):
+        sub = [
+            (
+                _group_slice(np.asarray(s, np.int32), lanes, groups, g),
+                _group_slice(np.asarray(i, np.int64), lanes, groups, g),
+                _group_slice(np.asarray(k, bool), lanes, groups, g),
+            )
+            for s, i, k in stages
+        ]
+        out.append(encode_stages(sub, tables, lanes // groups))
+    return out
+
+
+def decode_stages_grouped(streams, tables, stage_meta, lanes: int = DEFAULT_LANES,
+                          groups: int = 1):
+    """streams: list of (words, esc_start) per group.  Reassembles each
+    stage's values into the global symbol order.  Returns (outs, ok)."""
+    assert lanes % groups == 0 and len(streams) == groups
+    kt = lanes // groups
+    decs = [
+        StreamDecoder(words, tables, kt, esc_start)
+        for words, esc_start in streams
+    ]
+    outs = []
+    for indexes, keep in stage_meta:
+        n = len(indexes)
+        p = _stage_grid(n, lanes)
+        grid = np.zeros((p, lanes), np.int32)
+        for g in range(groups):
+            vals = decs[g].decode_stage(
+                _group_slice(np.asarray(indexes, np.int64), lanes, groups, g),
+                _group_slice(np.asarray(keep, bool), lanes, groups, g),
+            )
+            grid[:, g * kt : (g + 1) * kt] = vals.reshape(p, kt)
+        outs.append(grid.reshape(-1)[:n])
+    return outs, all(d.stream_ok for d in decs)

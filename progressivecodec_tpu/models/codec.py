@@ -86,41 +86,58 @@ class Codec:
     # -- serialization --------------------------------------------------
     def serialize(self, data: dict) -> bytes:
         """Container: magic | quality f32 | batch u16 | z_h u16 | z_w u16 |
-        lanes u16 | mask_pol len+utf8 | n_words u32 | n_esc_words u32 |
-        words | escape words."""
+        lanes u16 | groups u8 | mask_pol len+utf8 | per group:
+        (n_words u32 | n_esc_words u32 | words | escape words)."""
         mp = (data["mask_pol"] or self.cfg.mask_policy).encode()
+        groups = int(data.get("groups", 1))
         head = MAGIC + struct.pack(
-            "<fHHHHB", data["quality"], data["batch"], *data["z_shape"],
-            self.lanes, len(mp),
+            "<fHHHHBB", data["quality"], data["batch"], *data["z_shape"],
+            self.lanes, groups, len(mp),
         )
-        esc = np.asarray(data.get("esc", np.zeros(0, np.uint16)), dtype="<u2")
-        words = np.asarray(data["stream"], dtype="<u2").tobytes()
-        return (
-            head + mp
-            + struct.pack("<II", len(data["stream"]), len(esc))
-            + words + esc.tobytes()
-        )
+        if groups > 1:
+            segments = list(zip(data["streams"], data["escs"]))
+        else:
+            segments = [(data["stream"], data.get("esc", np.zeros(0, np.uint16)))]
+        body = b""
+        for words, esc in segments:
+            words = np.asarray(words, dtype="<u2")
+            esc = np.asarray(esc, dtype="<u2")
+            body += (
+                struct.pack("<II", len(words), len(esc))
+                + words.tobytes() + esc.tobytes()
+            )
+        return head + mp + body
 
     def deserialize(self, blob: bytes) -> dict:
         assert blob[:4] == MAGIC, "bad container magic"
-        quality, batch, zh, zw, lanes, mlen = struct.unpack("<fHHHHB", blob[4:17])
+        quality, batch, zh, zw, lanes, groups, mlen = struct.unpack(
+            "<fHHHHBB", blob[4:18]
+        )
         if lanes != self.lanes:
             raise ValueError(
                 f"container coded with {lanes} lanes; codec configured for {self.lanes}"
             )
-        mp = blob[17 : 17 + mlen].decode()
-        n_words, n_esc = struct.unpack("<II", blob[17 + mlen : 25 + mlen])
-        body = blob[25 + mlen :]
-        words = np.frombuffer(body[: 2 * n_words], dtype="<u2")
-        esc = np.frombuffer(body[2 * n_words : 2 * (n_words + n_esc)], dtype="<u2")
-        return {
-            "stream": words,
-            "esc": esc,
+        mp = blob[18 : 18 + mlen].decode()
+        off = 18 + mlen
+        streams, escs = [], []
+        for _ in range(groups):
+            n_words, n_esc = struct.unpack("<II", blob[off : off + 8])
+            off += 8
+            streams.append(np.frombuffer(blob[off : off + 2 * n_words], dtype="<u2"))
+            off += 2 * n_words
+            escs.append(np.frombuffer(blob[off : off + 2 * n_esc], dtype="<u2"))
+            off += 2 * n_esc
+        out = {
             "z_shape": (zh, zw),
             "batch": batch,
             "quality": quality,
             "mask_pol": mp,
         }
+        if groups > 1:
+            out.update({"streams": streams, "escs": escs, "groups": groups})
+        else:
+            out.update({"stream": streams[0], "esc": escs[0]})
+        return out
 
 
 def _stream_capacity(batch: int, z_shape: tuple, cfg: ModelConfig, lanes: int) -> int:

@@ -38,7 +38,13 @@ from progressivecodec_tpu.models.codec import Codec, _stream_capacity
 class GranularCodec(Codec):
     """Codec with per-stage shared executables for the progressive family."""
 
-    def __init__(self, model, variables, lanes: int = DEFAULT_LANES, precision: int = 16):
+    def __init__(self, model, variables, lanes: int = DEFAULT_LANES, precision: int = 16,
+                 groups: int = 1, coder_mesh=None, coder_axis: str = "model"):
+        """groups > 1 selects the PCT1-G grouped wire format (G independent
+        lane-group sub-streams, coder/rans_device.py).  With coder_mesh set,
+        the G scans run one-per-device via shard_map
+        (parallel/sharded_coder.py) — byte-identical to the fused
+        single-device grouped path, so streams are topology-independent."""
         super().__init__(model, variables, lanes, precision)
         from progressivecodec_tpu.models.progressive import ChannelProgressiveWACNN
 
@@ -53,6 +59,12 @@ class GranularCodec(Codec):
         self._scale_table = jnp.asarray(
             model.cfg.scale_table.values().astype(np.float32)
         )
+        if coder_mesh is not None and groups == 1:
+            groups = coder_mesh.shape[coder_axis]
+        assert lanes % max(groups, 1) == 0
+        self.groups = max(groups, 1)
+        self.coder_mesh = coder_mesh
+        self.coder_axis = coder_axis
 
     # ---------- jitted model-method fragments ----------
 
@@ -139,6 +151,52 @@ class GranularCodec(Codec):
 
         def fn(stages):
             return rans_device.encode_stages(stages, t, lanes)
+
+        return jax.jit(fn)
+
+    @functools.cached_property
+    def _J_encode_grouped(self):
+        t = self.device_tables
+        lanes, groups = self.lanes, self.groups
+        if self.coder_mesh is not None:
+            from progressivecodec_tpu.parallel.sharded_coder import sharded_encode_stages
+
+            mesh, axis = self.coder_mesh, self.coder_axis
+
+            def fn(stages):
+                return sharded_encode_stages(stages, t, lanes, mesh, axis)
+
+            return fn  # shard_map path jits internally
+
+        def fn(stages):
+            return rans_device.encode_stages_grouped(stages, t, lanes, groups)
+
+        return jax.jit(fn)
+
+    @functools.cached_property
+    def _J_decode_stage_grouped(self):
+        t = self.device_tables
+        lanes, groups = self.lanes, self.groups
+        if self.coder_mesh is not None:
+            from progressivecodec_tpu.parallel.sharded_coder import sharded_decode_stage
+
+            mesh, axis = self.coder_mesh, self.coder_axis
+
+            def fn(states, offsets, esc_offsets, streams, escs, indexes, keep):
+                dec = rans_device.GroupedDecoderState(states, offsets, esc_offsets)
+                dec, vals = sharded_decode_stage(
+                    dec, streams, escs, indexes, keep, t, lanes, mesh, axis
+                )
+                return dec.states, dec.offsets, dec.esc_offsets, vals
+
+            return fn
+
+        def fn(states, offsets, esc_offsets, streams, escs, indexes, keep):
+            dec = rans_device.GroupedDecoderState(states, offsets, esc_offsets)
+            dec, vals = rans_device.decode_stage_grouped(
+                dec, streams, escs, indexes, keep, t, lanes, groups
+            )
+            return dec.states, dec.offsets, dec.esc_offsets, vals
 
         return jax.jit(fn)
 
@@ -305,7 +363,6 @@ class GranularCodec(Codec):
                 if simulate:
                     y_hat_prog_cat = jnp.concatenate(prog_slices, axis=-1)
 
-        stream, n_words, esc, n_esc = self._J_encode(stages)
         hz, wz = z.shape[1], z.shape[2]
         common = {
             "z_shape": (hz, wz),
@@ -313,20 +370,43 @@ class GranularCodec(Codec):
             "quality": float(quality),
             "mask_pol": mask_pol,
         }
-        if to_host:
-            n_words = int(n_words)
-            n_esc = int(n_esc)
-            result = {
-                "stream": np.asarray(stream[:n_words]),
-                "esc": np.asarray(esc[: 2 * n_esc]),
-                "num_bytes": 2 * (n_words + 2 * n_esc),
-                **common,
-            }
+        if self.groups > 1:
+            streams, n_words, escs, n_escs = self._J_encode_grouped(stages)
+            common["groups"] = self.groups
+            if to_host:
+                nw = np.asarray(n_words)
+                ne = np.asarray(n_escs)
+                result = {
+                    "streams": [
+                        np.asarray(streams[g][: int(nw[g])]) for g in range(self.groups)
+                    ],
+                    "escs": [
+                        np.asarray(escs[g][: 2 * int(ne[g])]) for g in range(self.groups)
+                    ],
+                    "num_bytes": 2 * (int(nw.sum()) + 2 * int(ne.sum())),
+                    **common,
+                }
+            else:
+                result = {
+                    "streams_dev": streams, "n_words_dev": n_words,
+                    "escs_dev": escs, "n_escs_dev": n_escs, **common,
+                }
         else:
-            result = {
-                "stream_dev": stream, "n_words_dev": n_words,
-                "esc_dev": esc, "n_esc_dev": n_esc, **common,
-            }
+            stream, n_words, esc, n_esc = self._J_encode(stages)
+            if to_host:
+                n_words = int(n_words)
+                n_esc = int(n_esc)
+                result = {
+                    "stream": np.asarray(stream[:n_words]),
+                    "esc": np.asarray(esc[: 2 * n_esc]),
+                    "num_bytes": 2 * (n_words + 2 * n_esc),
+                    **common,
+                }
+            else:
+                result = {
+                    "stream_dev": stream, "n_words_dev": n_words,
+                    "esc_dev": esc, "n_esc_dev": n_esc, **common,
+                }
         if simulate:
             if quality > 0 and self._progressive:
                 result["x_hat"] = self._call("codec_synth", (1,), y_hat_prog_cat)
@@ -359,39 +439,68 @@ class GranularCodec(Codec):
         mask_pol = data["mask_pol"] or cfg.mask_policy
         batch = data["batch"]
         hz, wz = data["z_shape"]
-        if "stream_dev" in data:
-            stream = data["stream_dev"]
-            esc = data["esc_dev"]
-        else:
-            cap = _stream_capacity(batch, (hz, wz), cfg, self.lanes)
-            stream = jnp.zeros((cap,), jnp.uint16).at[: len(data["stream"])].set(
-                jnp.asarray(data["stream"])
-            )
-            esc_host = data.get("esc", np.zeros(0, np.uint16))
-            esc = jnp.zeros((2 * cap,), jnp.uint16).at[: len(esc_host)].set(
-                jnp.asarray(esc_host)
-            )
+        if self.groups > 1:
+            g = self.groups
+            kt = self.lanes // g
+            if "streams_dev" in data:
+                streams, escs = data["streams_dev"], data["escs_dev"]
+            else:
+                cap_g = (_stream_capacity(batch, (hz, wz), cfg, self.lanes)
+                         - 2 * self.lanes) // g + 2 * kt
+                streams = jnp.zeros((g, cap_g), jnp.uint16)
+                escs = jnp.zeros((g, 2 * cap_g), jnp.uint16)
+                for gi in range(g):
+                    streams = streams.at[gi, : len(data["streams"][gi])].set(
+                        jnp.asarray(data["streams"][gi])
+                    )
+                    escs = escs.at[gi, : len(data["escs"][gi])].set(
+                        jnp.asarray(data["escs"][gi])
+                    )
+            gdec = rans_device.grouped_decoder_init(streams, self.lanes, g)
+            dec_state = {
+                "states": gdec.states, "offsets": gdec.offsets,
+                "esc_offsets": gdec.esc_offsets,
+            }
 
-        states, offset, esc_offset = self._J_dec_init(stream)
+            def _dec_stage(indexes, keep):
+                s, o, eo, vals = self._J_decode_stage_grouped(
+                    dec_state["states"], dec_state["offsets"],
+                    dec_state["esc_offsets"], streams, escs, indexes, keep,
+                )
+                dec_state["states"], dec_state["offsets"], dec_state["esc_offsets"] = s, o, eo
+                return vals
+
+        else:
+            if "stream_dev" in data:
+                stream = data["stream_dev"]
+                esc = data["esc_dev"]
+            else:
+                cap = _stream_capacity(batch, (hz, wz), cfg, self.lanes)
+                stream = jnp.zeros((cap,), jnp.uint16).at[: len(data["stream"])].set(
+                    jnp.asarray(data["stream"])
+                )
+                esc_host = data.get("esc", np.zeros(0, np.uint16))
+                esc = jnp.zeros((2 * cap,), jnp.uint16).at[: len(esc_host)].set(
+                    jnp.asarray(esc_host)
+                )
+
+            states, offset, esc_offset = self._J_dec_init(stream)
+            dec_state = {"states": states, "offset": offset, "esc_offset": esc_offset}
+
+            def _dec_stage(indexes, keep):
+                s, o, eo, vals = self._J_decode_stage(
+                    dec_state["states"], dec_state["offset"], dec_state["esc_offset"],
+                    stream, esc, indexes, keep,
+                )
+                dec_state["states"], dec_state["offset"], dec_state["esc_offset"] = s, o, eo
+                return vals
+
         z_idx = jnp.broadcast_to(
             jnp.arange(cfg.N, dtype=jnp.int32), (batch, hz, wz, cfg.N)
         )
-        states, offset, esc_offset, z_vals = self._J_decode_stage(
-            states, offset, esc_offset, stream, esc,
-            z_idx.reshape(-1), self._ones(z_idx.size),
-        )
+        z_vals = _dec_stage(z_idx.reshape(-1), self._ones(z_idx.size))
         z_hat = z_vals.reshape(batch, hz, wz, cfg.N).astype(jnp.float32) + self._medians()
         lm, ls = self._call("codec_hyper_dec", (), z_hat)
-
-        dec_state = {"states": states, "offset": offset, "esc_offset": esc_offset}
-
-        def _dec_stage(indexes, keep):
-            s, o, eo, vals = self._J_decode_stage(
-                dec_state["states"], dec_state["offset"], dec_state["esc_offset"],
-                stream, esc, indexes, keep,
-            )
-            dec_state["states"], dec_state["offset"], dec_state["esc_offset"] = s, o, eo
-            return vals
 
         def dec_vals(i, mu, idx):
             vals = _dec_stage(
