@@ -48,30 +48,36 @@ def main():
     codec = make_codec(model, variables, lanes=512)
     codec.update()
 
-    quality = 10.0
-    # warm up / compile both paths and validate integrity end to end
-    data = codec.compress(xs[0], quality=quality)
-    out = codec.decompress(data)
-    assert bool(out["stream_ok"]), "stream integrity check failed"
-    jax.block_until_ready(out["x_hat"])
+    def measure(quality):
+        # warm up / compile both paths and validate integrity end to end
+        data = codec.compress(xs[0], quality=quality)
+        out = codec.decompress(data)
+        assert bool(out["stream_ok"]), "stream integrity check failed"
+        jax.block_until_ready(out["x_hat"])
 
-    def run_pipelined(images):
-        outs = []
-        for x in images:
-            d = codec.compress(x, quality=quality, to_host=False)
-            outs.append(codec.decompress(d))
-        jax.block_until_ready([o["x_hat"] for o in outs])
-        return outs
+        def run_pipelined(images):
+            outs = []
+            for x in images:
+                d = codec.compress(x, quality=quality, to_host=False)
+                outs.append(codec.decompress(d))
+            jax.block_until_ready([o["x_hat"] for o in outs])
+            return outs
 
-    run_pipelined(xs[:2])  # warm the device-resident path
+        run_pipelined(xs[:2])  # warm the device-resident path
+        t0 = time.perf_counter()
+        outs = run_pipelined(xs)
+        dt = (time.perf_counter() - t0) / n_images
+        assert all(bool(o["stream_ok"]) for o in outs), "stream integrity check failed"
+        return 1.0 / dt
 
-    t0 = time.perf_counter()
-    outs = run_pipelined(xs)
-    dt = (time.perf_counter() - t0) / n_images
-    assert all(bool(o["stream_ok"]) for o in outs), "stream integrity check failed"
-
-    images_per_s = 1.0 / dt
-    baseline = 1.0 / 2.30  # fastest reference decode anchor
+    # q=5: the mid-quality point exercises the sigma-quantile mask path
+    # (at q=10 point-based-std short-circuits to all-ones)
+    images_per_s_q5 = measure(5.0)
+    images_per_s = measure(10.0)
+    # Baseline: the reference's fastest published DECODE-ONLY anchor
+    # (2.30 s/image, result_list.py:107-127); ours is encode+decode, so
+    # the ratio is conservative in the baseline's favor.
+    baseline = 1.0 / 2.30
     print(
         json.dumps(
             {
@@ -79,6 +85,8 @@ def main():
                 "value": round(images_per_s, 4),
                 "unit": "images/s",
                 "vs_baseline": round(images_per_s / baseline, 2),
+                "q5_images_per_s": round(images_per_s_q5, 4),
+                "baseline_note": "ref fastest decode-ONLY anchor 2.30 s/img; ours is encode+decode",
             }
         )
     )

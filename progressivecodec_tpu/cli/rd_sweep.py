@@ -43,6 +43,12 @@ def main(argv=None):
     p.add_argument("--out", type=str, default="rd_sweep.json")
     p.add_argument("--plot", type=str, default=None)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument(
+        "--synthetic-kodak", action="store_true",
+        help="the fixed 24-image synthetic Kodak-geometry test set "
+        "(data/datasets.SyntheticKodak) — the in-sandbox eval protocol",
+    )
+    p.add_argument("--max-images", type=int, default=None)
     args = p.parse_args(argv)
 
     if args.checkpoint:
@@ -66,12 +72,19 @@ def main(argv=None):
             lambda r, x: model.init({"params": r}, x, training=False)
         )(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
 
-    if args.synthetic:
+    if args.synthetic_kodak:
+        from progressivecodec_tpu.data.datasets import SyntheticKodak
+
+        ds = SyntheticKodak()
+        images = [ds[args.image]] if args.image is not None else [ds[i] for i in range(len(ds))]
+    elif args.synthetic:
         ds = SyntheticDataset(n=1, size=512)
         images = [ds[0]]
     else:
         ds = KodakDataset(args.dataset)
         images = [ds[args.image]] if args.image is not None else [ds[i] for i in range(len(ds))]
+    if args.max_images:
+        images = images[: args.max_images]
 
     grid = list(QUALITY_GRID) if args.grid == "full" else [
         0.0, 0.25, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 5.0, 6.0, 8.0, 10.0

@@ -74,6 +74,23 @@ def _log(out_dir, record):
     print(json.dumps(record), flush=True)
 
 
+def _try_eval(out_dir, epoch, what, fn, retries: int = 2):
+    """Failure containment for the periodic evals: a transient backend
+    error (e.g. a dropped remote-compile connection) must not kill a
+    multi-hour training run — log it, retry, and move on.  (The reference
+    has no failure handling at all; crash = rerun from checkpoint.)"""
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - deliberate containment
+            _log(out_dir, {
+                "epoch": epoch, "eval_error": what,
+                "attempt": attempt, "error": f"{type(e).__name__}: {e}"[:500],
+            })
+            time.sleep(5.0 * (attempt + 1))
+    return None
+
+
 def main(argv=None):
     args = parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
@@ -145,10 +162,14 @@ def main(argv=None):
 
         # entropy-estimate validation at the quality ladder
         codec = make_codec(model, {"params": state.params})
-        val = entropy_estimate_eval(
-            codec, test_imgs[:4], pr_list=(0.0, 1.0, 2.0, 5.0, 10.0)
+        val = _try_eval(
+            args.out, epoch, "valid",
+            lambda: entropy_estimate_eval(
+                codec, test_imgs[:4], pr_list=(0.0, 1.0, 2.0, 5.0, 10.0)
+            ),
         )
-        _log(args.out, {"epoch": epoch, "valid": val})
+        if val is not None:
+            _log(args.out, {"epoch": epoch, "valid": val})
         # ReduceLROnPlateau analog (train.py:276): scale lr by lr_factor
         # after lr_patience non-improving epochs — applied via opt-state
         # hyperparam surgery, so the compiled step is reused
@@ -164,14 +185,18 @@ def main(argv=None):
         plateau = new_plateau
 
         if (epoch + 1) % args.eval_every == 0:
-            codec.update()
-            real = evaluate_codec(codec, test_imgs[:4], pr_list=(0.0, 1.0, 10.0))
-            _log(args.out, {"epoch": epoch, "real_codec": real})
-            curves = [
-                rd_curve_dict(BASE_ANCHOR_BPP, BASE_ANCHOR_PSNR, "reference base anchor"),
-                rd_curve_dict(real["bpp"], real["psnr"], "ours"),
-            ]
-            plot_rd(curves, os.path.join(args.out, f"rd_epoch{epoch}.png"))
+            def _real_eval():
+                codec.update()
+                return evaluate_codec(codec, test_imgs[:4], pr_list=(0.0, 1.0, 10.0))
+
+            real = _try_eval(args.out, epoch, "real_codec", _real_eval)
+            if real is not None:
+                _log(args.out, {"epoch": epoch, "real_codec": real})
+                curves = [
+                    rd_curve_dict(BASE_ANCHOR_BPP, BASE_ANCHOR_PSNR, "reference base anchor"),
+                    rd_curve_dict(real["bpp"], real["psnr"], "ours"),
+                ]
+                plot_rd(curves, os.path.join(args.out, f"rd_epoch{epoch}.png"))
 
         save_checkpoint(
             os.path.join(args.out, "ckpt_last"), state, mcfg, tcfg, extra={"epoch": epoch}

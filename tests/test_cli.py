@@ -62,3 +62,19 @@ def test_eval_cli_synthetic_smoke(tmp_path, capsys):
             assert real < est * 1.25 + 0.3
     finally:
         eval_mod.ModelConfig = orig
+
+
+def test_openimages_downloader_gated():
+    """The downloader exists (reference parity: downloader_openimages.py)
+    and fails actionably without the optional fiftyone dependency."""
+    import pytest as _pytest
+
+    from progressivecodec_tpu.data.openimages import download_openimages
+
+    try:
+        import fiftyone  # noqa: F401
+        _pytest.skip("fiftyone installed; skipping offline-gate check")
+    except ImportError:
+        pass
+    with _pytest.raises(ImportError, match="fiftyone"):
+        download_openimages("/tmp/nonexistent-openimages")
