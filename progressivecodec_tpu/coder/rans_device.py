@@ -30,14 +30,14 @@ class DeviceTables(NamedTuple):
     """CoderTables as device arrays, packed for one-gather-per-symbol.
 
     enc_sf: (R*Lmax,) uint32 — start<<16 | freq, indexed by row*Lmax + sym
-    dec_sf: (R*2^16,) uint32 — start<<16 | freq, indexed by row<<16 | cum
-    dec_val: (R*2^16,) int32 — decoded value (sym + row offset), same index
-    offset/max_symbol: per-row clamp metadata (tiny)
+    dec_packed: (R*2^16, 2) uint32 — [start<<16|freq, bitcast(value)] fused
+        rows indexed by row<<16 | cum, so the decode scan reads everything
+        it needs about a symbol with ONE gather
+    offset/max_symbol: per-row escape metadata (tiny)
     """
 
     enc_sf: jax.Array
-    dec_sf: jax.Array
-    dec_val: jax.Array
+    dec_packed: jax.Array
     lmax: int
     cdf_length: jax.Array  # (R,) int32
     offset: jax.Array  # (R,) int32
@@ -62,10 +62,13 @@ class DeviceTables(NamedTuple):
         )
         dec_val = (inv + t.offset[:, None].astype(np.int64)).astype(np.int32)
 
+        # fused [sf, val] rows: the decode scan reads both with ONE gather
+        dec_packed = np.stack(
+            [dec_sf.reshape(-1), dec_val.reshape(-1).view(np.uint32)], axis=1
+        )
         return DeviceTables(
             enc_sf=jnp.asarray(enc_sf.reshape(-1)),
-            dec_sf=jnp.asarray(dec_sf.reshape(-1)),
-            dec_val=jnp.asarray(dec_val.reshape(-1)),
+            dec_packed=jnp.asarray(dec_packed),
             lmax=lmax,
             cdf_length=jnp.asarray(t.cdf_length, jnp.int32),
             offset=jnp.asarray(t.offset, jnp.int32),
@@ -239,7 +242,8 @@ def decode_stage(
         ii, ki = inp
         cum = states & _MASK16
         lin = (ii << 16) + cum.astype(jnp.int32)
-        sf = t.dec_sf[lin]
+        packed = t.dec_packed[lin]  # one gather: [sf, val]
+        sf = packed[:, 0]
         start = sf >> 16
         freq = sf & _MASK16
         adv = freq * (states >> 16) + cum - start
@@ -252,7 +256,7 @@ def decode_stage(
         adv = jnp.where(flag, (adv << 16) | w, adv)
         states = jnp.where(ki, adv, states)
         offset = offset + csum[-1]
-        vals = jnp.where(ki, t.dec_val[lin], 0)
+        vals = jnp.where(ki, packed[:, 1].astype(jnp.int32), 0)
         return (states, offset), vals
 
     (states, offset), vals = jax.lax.scan(step, (dec.states, dec.offset), (idx, kp))
@@ -378,7 +382,8 @@ def decode_stage_grouped(
         ii, ki = inp
         cum = states & _MASK16
         lin = (ii << 16) + cum.astype(jnp.int32)
-        sf = t.dec_sf[lin]
+        packed = t.dec_packed[lin]  # one gather: [sf, val]
+        sf = packed[:, 0]
         start = sf >> 16
         freq = sf & _MASK16
         adv = freq * (states >> 16) + cum - start
@@ -394,7 +399,7 @@ def decode_stage_grouped(
         adv = jnp.where(flag, (adv << 16) | w, adv)
         states = jnp.where(ki, adv, states)
         offsets = offsets + csum[:, -1]
-        vals = jnp.where(ki, t.dec_val[lin], 0)
+        vals = jnp.where(ki, packed[:, 1].astype(jnp.int32), 0)
         return (states, offsets), vals
 
     (states, offsets), vals = jax.lax.scan(step, (dec.states, dec.offsets), (idx, kp))
