@@ -174,15 +174,23 @@ def encode_grids(v, idx, kp, sym, t: DeviceTables, lanes: int):
     payload = payload.at[jnp.where(flags, pos, cap)].set(words, mode="drop")
 
     # escape segment: compact raw values of escaped symbols, decode order
+    # (cond-gated: in normal operation there are no escapes and the
+    # common path pays only the flag reduction)
     sym_f = sym.reshape(-1)
     _, esc_flags = split_escapes(sym_f, idx.reshape(-1), kp.reshape(-1), t)
     n_esc = esc_flags.sum(dtype=jnp.int32)
-    epos = jnp.cumsum(esc_flags.astype(jnp.int32)) - 1
-    raw = sym_f.astype(jnp.uint32)
-    esc = jnp.zeros((2 * cap,), jnp.uint16)
-    tgt = jnp.where(esc_flags, 2 * epos, 2 * cap)
-    esc = esc.at[tgt].set((raw & _MASK16).astype(jnp.uint16), mode="drop")
-    esc = esc.at[tgt + 1].set((raw >> 16).astype(jnp.uint16), mode="drop")
+
+    def build_esc(_):
+        epos = jnp.cumsum(esc_flags.astype(jnp.int32)) - 1
+        raw = sym_f.astype(jnp.uint32)
+        e = jnp.zeros((2 * cap,), jnp.uint16)
+        tgt = jnp.where(esc_flags, 2 * epos, 2 * cap)
+        e = e.at[tgt].set((raw & _MASK16).astype(jnp.uint16), mode="drop")
+        return e.at[tgt + 1].set((raw >> 16).astype(jnp.uint16), mode="drop")
+
+    esc = jax.lax.cond(
+        n_esc > 0, build_esc, lambda _: jnp.zeros((2 * cap,), jnp.uint16), None
+    )
 
     head = jnp.zeros((2 * lanes,), jnp.uint16)
     head = head.at[0::2].set((states & _MASK16).astype(jnp.uint16))
@@ -262,18 +270,25 @@ def decode_stage(
     (states, offset), vals = jax.lax.scan(step, (dec.states, dec.offset), (idx, kp))
     vals = vals.reshape(-1)[:n]
 
-    # escape substitution (outside the scan: flat, order-preserving)
+    # escape substitution (outside the scan: flat, order-preserving).
+    # Escapes are ~never in normal operation, so the gather work is gated
+    # behind a device-side cond; the common path pays one compare+sum.
     idx_f = indexes.astype(jnp.int32)
     kp_f = keep.astype(bool)
     sentinel = t.offset[idx_f] + t.max_symbol[idx_f] + 1
     esc_flag = kp_f & (vals == sentinel)
-    j = dec.esc_offset + 2 * (jnp.cumsum(esc_flag.astype(jnp.int32)) - 1)
-    safe = jnp.where(esc_flag, j, 0)
-    lo = esc[jnp.clip(safe, 0, esc.shape[0] - 1)].astype(jnp.uint32)
-    hi = esc[jnp.clip(safe + 1, 0, esc.shape[0] - 1)].astype(jnp.uint32)
-    raw = (lo | (hi << 16)).astype(jnp.int32)
-    vals = jnp.where(esc_flag, raw, vals)
-    esc_offset = dec.esc_offset + 2 * esc_flag.sum(dtype=jnp.int32)
+    n_esc = esc_flag.sum(dtype=jnp.int32)
+
+    def substitute(v):
+        j = dec.esc_offset + 2 * (jnp.cumsum(esc_flag.astype(jnp.int32)) - 1)
+        safe = jnp.where(esc_flag, j, 0)
+        lo = esc[jnp.clip(safe, 0, esc.shape[0] - 1)].astype(jnp.uint32)
+        hi = esc[jnp.clip(safe + 1, 0, esc.shape[0] - 1)].astype(jnp.uint32)
+        raw = (lo | (hi << 16)).astype(jnp.int32)
+        return jnp.where(esc_flag, raw, v)
+
+    vals = jax.lax.cond(n_esc > 0, substitute, lambda v: v, vals)
+    esc_offset = dec.esc_offset + 2 * n_esc
 
     return DecoderState(states, offset, esc_offset), vals
 
@@ -325,16 +340,23 @@ def encode_stages_grouped(stages, t: DeviceTables, lanes: int = DEFAULT_LANES,
     rows = jnp.broadcast_to(jnp.arange(groups)[:, None], gf.shape)
     payload = payload.at[rows, jnp.where(gf, pos, cap)].set(gw, mode="drop")
 
-    # per-group escape segments
+    # per-group escape segments (cond-gated like the single-stream path)
     _, esc_flags = split_escapes(sym.reshape(-1), idx.reshape(-1), kp.reshape(-1), t)
     ge = to_groups(esc_flags.reshape(p_total, lanes))
-    graw = to_groups(sym).astype(jnp.uint32)
     n_escs = ge.sum(axis=1, dtype=jnp.int32)
-    epos = jnp.cumsum(ge.astype(jnp.int32), axis=1) - 1
-    escs = jnp.zeros((groups, 2 * cap), jnp.uint16)
-    tgt = jnp.where(ge, 2 * epos, 2 * cap)
-    escs = escs.at[rows, tgt].set((graw & _MASK16).astype(jnp.uint16), mode="drop")
-    escs = escs.at[rows, tgt + 1].set((graw >> 16).astype(jnp.uint16), mode="drop")
+
+    def build_escs(_):
+        graw = to_groups(sym).astype(jnp.uint32)
+        epos = jnp.cumsum(ge.astype(jnp.int32), axis=1) - 1
+        e = jnp.zeros((groups, 2 * cap), jnp.uint16)
+        tgt = jnp.where(ge, 2 * epos, 2 * cap)
+        e = e.at[rows, tgt].set((graw & _MASK16).astype(jnp.uint16), mode="drop")
+        return e.at[rows, tgt + 1].set((graw >> 16).astype(jnp.uint16), mode="drop")
+
+    escs = jax.lax.cond(
+        n_escs.sum() > 0, build_escs,
+        lambda _: jnp.zeros((groups, 2 * cap), jnp.uint16), None,
+    )
 
     # per-group lane-state heads
     gs = states.reshape(groups, kt)
@@ -405,20 +427,28 @@ def decode_stage_grouped(
     (states, offsets), vals = jax.lax.scan(step, (dec.states, dec.offsets), (idx, kp))
     p_total = idx.shape[0]
 
-    # per-group escape substitution in group order
+    # per-group escape substitution in group order (cond-gated: escapes
+    # are ~never in normal operation)
     idx_g = idx.reshape(p_total, groups, kt).transpose(1, 0, 2).reshape(groups, -1)
     kp_g = kp.reshape(p_total, groups, kt).transpose(1, 0, 2).reshape(groups, -1)
     vals_g = vals.reshape(p_total, groups, kt).transpose(1, 0, 2).reshape(groups, -1)
     sentinel = t.offset[idx_g] + t.max_symbol[idx_g] + 1
     esc_flag = kp_g & (vals_g == sentinel)
-    j = dec.esc_offsets[:, None] + 2 * (jnp.cumsum(esc_flag.astype(jnp.int32), axis=1) - 1)
-    safe = jnp.where(esc_flag, j, 0)
-    rows = jnp.broadcast_to(jnp.arange(groups)[:, None], esc_flag.shape)
-    lo = escs[rows, jnp.clip(safe, 0, escs.shape[1] - 1)].astype(jnp.uint32)
-    hi = escs[rows, jnp.clip(safe + 1, 0, escs.shape[1] - 1)].astype(jnp.uint32)
-    raw = (lo | (hi << 16)).astype(jnp.int32)
-    vals_g = jnp.where(esc_flag, raw, vals_g)
-    esc_offsets = dec.esc_offsets + 2 * esc_flag.sum(axis=1, dtype=jnp.int32)
+    n_esc_g = esc_flag.sum(axis=1, dtype=jnp.int32)
+
+    def substitute(v):
+        j = dec.esc_offsets[:, None] + 2 * (
+            jnp.cumsum(esc_flag.astype(jnp.int32), axis=1) - 1
+        )
+        safe = jnp.where(esc_flag, j, 0)
+        rows = jnp.broadcast_to(jnp.arange(groups)[:, None], esc_flag.shape)
+        lo = escs[rows, jnp.clip(safe, 0, escs.shape[1] - 1)].astype(jnp.uint32)
+        hi = escs[rows, jnp.clip(safe + 1, 0, escs.shape[1] - 1)].astype(jnp.uint32)
+        raw = (lo | (hi << 16)).astype(jnp.int32)
+        return jnp.where(esc_flag, raw, v)
+
+    vals_g = jax.lax.cond(n_esc_g.sum() > 0, substitute, lambda v: v, vals_g)
+    esc_offsets = dec.esc_offsets + 2 * n_esc_g
 
     vals = vals_g.reshape(groups, p_total, kt).transpose(1, 0, 2).reshape(-1)[:n]
     return GroupedDecoderState(states, offsets, esc_offsets), vals
