@@ -13,7 +13,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# self-contained path setup: setting PYTHONPATH breaks the sandbox's axon
+# TPU plugin registration, so insert the repo root here instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,7 @@
 set -x
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
-export PYTHONPATH=/root/repo
+
 
 python tools/bench_coder.py --lanes 512,1024,2048,4096 2>&1 | tee runs/bench_coder.log
 
