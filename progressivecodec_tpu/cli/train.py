@@ -94,6 +94,9 @@ def _try_eval(out_dir, epoch, what, fn, retries: int = 2):
 def main(argv=None):
     args = parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
+    from progressivecodec_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     mcfg = ModelConfig()
     if args.config:
@@ -106,12 +109,17 @@ def main(argv=None):
             overrides[field] = v
     tcfg = dataclasses.replace(tcfg, **overrides)
 
+    valid_imgs = None
     if args.natural:
         from progressivecodec_tpu.data.datasets import NaturalSyntheticDataset, SyntheticKodak
 
         train_ds = NaturalSyntheticDataset(n=args.natural_n, size=max(384, tcfg.patch_size))
         kodak = SyntheticKodak()
         test_imgs = [kodak[i] for i in range(len(kodak))]
+        # held-out validation images (seed 1 != train seed 0): the plateau
+        # scheduler must see VALIDATION loss, never train loss
+        valid_ds = NaturalSyntheticDataset(n=4, size=256, seed=1)
+        valid_imgs = [valid_ds[i] for i in range(len(valid_ds))]
     elif args.synthetic:
         train_ds = SyntheticDataset(n=max(64, tcfg.batch_size * 4), size=tcfg.patch_size)
         test_imgs = [SyntheticDataset(n=2, size=256)[i] for i in range(2)]
@@ -160,21 +168,39 @@ def main(argv=None):
         train_loss = float(np.mean(losses)) if losses else float("nan")
         _log(args.out, {"epoch": epoch, "train_loss": train_loss, "time_s": time.time() - t0})
 
-        # entropy-estimate validation at the quality ladder
+        # validation at pr_list=[0,10] (reference train.py:327-330) — the
+        # loss that drives the plateau scheduler and best-checkpoint choice
         codec = make_codec(model, {"params": state.params})
+        vimgs = valid_imgs if valid_imgs is not None else test_imgs[:4]
         val = _try_eval(
             args.out, epoch, "valid",
             lambda: entropy_estimate_eval(
-                codec, test_imgs[:4], pr_list=(0.0, 1.0, 2.0, 5.0, 10.0)
+                codec, vimgs, pr_list=(0.0, 10.0), lmbda_list=mcfg.lmbda_list
             ),
         )
         if val is not None:
             _log(args.out, {"epoch": epoch, "valid": val})
-        # ReduceLROnPlateau analog (train.py:276): scale lr by lr_factor
-        # after lr_patience non-improving epochs — applied via opt-state
-        # hyperparam surgery, so the compiled step is reused
+        # entropy-estimate test sweep at the reference's 14-point quality
+        # ladder (train.py:337: [0,0.01,0.05,0.1,0.25,0.5,1,1.5,2,2.5,3,4,5,10])
+        if (epoch + 1) % args.eval_every == 0:
+            test = _try_eval(
+                args.out, epoch, "test",
+                lambda: entropy_estimate_eval(
+                    codec, test_imgs[:4],
+                    pr_list=(0.0, 0.01, 0.05, 0.1, 0.25, 0.5, 1.0, 1.5,
+                             2.0, 2.5, 3.0, 4.0, 5.0, 10.0),
+                ),
+            )
+            if test is not None:
+                _log(args.out, {"epoch": epoch, "test": test})
+        # ReduceLROnPlateau analog (train.py:333 steps on VALIDATION loss;
+        # factor/patience train.py:276): scale lr by lr_factor after
+        # lr_patience non-improving epochs — applied via opt-state
+        # hyperparam surgery, so the compiled step is reused.  Falls back
+        # to train loss only if every valid-eval retry failed.
+        plateau_metric = val["loss"] if val is not None else train_loss
         new_plateau = plateau_update(
-            plateau, train_loss, tcfg.lr_factor, tcfg.lr_patience
+            plateau, plateau_metric, tcfg.lr_factor, tcfg.lr_patience
         )
         if new_plateau.scale != plateau.scale:
             state = state._replace(
@@ -201,8 +227,10 @@ def main(argv=None):
         save_checkpoint(
             os.path.join(args.out, "ckpt_last"), state, mcfg, tcfg, extra={"epoch": epoch}
         )
-        if train_loss < best_loss:
-            best_loss = train_loss
+        # best = lowest VALIDATION loss (reference train.py:345: is_best on
+        # the valid criterion, not train loss)
+        if plateau_metric < best_loss:
+            best_loss = plateau_metric
             save_checkpoint(
                 os.path.join(args.out, "ckpt_best"), state, mcfg, tcfg, extra={"epoch": epoch}
             )

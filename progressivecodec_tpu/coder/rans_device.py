@@ -131,33 +131,40 @@ def encode_stage_scan(states: jax.Array, v: jax.Array, idx: jax.Array, keep: jax
 
 
 def _stage_grids(stages, t: DeviceTables, lanes: int):
-    """Concatenate every stage's padded (P, K) grids: (v, idx, kp, sym)."""
-    v_all, idx_all, kp_all, sym_all = [], [], [], []
+    """Concatenate every stage's padded (P, K) grids: (v, idx, kp, esc, sym).
+
+    split_escapes runs exactly once per stage here; downstream encoders
+    consume the escape flags directly (they were previously recomputed in
+    encode_grids — a free half of the escape-classification gathers)."""
+    v_all, idx_all, kp_all, esc_all, sym_all = [], [], [], [], []
     for symbols, indexes, keep in stages:
         keep = keep.astype(bool)
         kp_grid = _pad_to_grid(keep, lanes)
         idx_grid = _pad_to_grid(indexes.astype(jnp.int32), lanes)
         sym_grid = _pad_to_grid(symbols.astype(jnp.int32), lanes)
-        v, _ = split_escapes(
+        v, esc = split_escapes(
             sym_grid.reshape(-1), idx_grid.reshape(-1), kp_grid.reshape(-1), t
         )
         v_all.append(v.reshape(kp_grid.shape))
         idx_all.append(idx_grid)
         kp_all.append(kp_grid)
+        esc_all.append(esc.reshape(kp_grid.shape))
         sym_all.append(sym_grid)
     return (
         jnp.concatenate(v_all, axis=0),
         jnp.concatenate(idx_all, axis=0),
         jnp.concatenate(kp_all, axis=0),
+        jnp.concatenate(esc_all, axis=0),
         jnp.concatenate(sym_all, axis=0),
     )
 
 
-def encode_grids(v, idx, kp, sym, t: DeviceTables, lanes: int):
+def encode_grids(v, idx, kp, esc_flags, sym, t: DeviceTables, lanes: int):
     """Encode pre-gridded (P, K) stage data into one PCT1 stream.
 
     The shared kernel of the single-stream, fused-grouped, and sharded
     encoders — a given (grids, lanes) always produces identical bytes.
+    esc_flags: (P, K) bool from _stage_grids (computed once per stage).
     Returns (stream (2K+P*K,), n_words, esc (2*P*K,), n_esc).
     """
     states = jnp.full((lanes,), RANS_L, dtype=jnp.uint32)
@@ -177,7 +184,7 @@ def encode_grids(v, idx, kp, sym, t: DeviceTables, lanes: int):
     # (cond-gated: in normal operation there are no escapes and the
     # common path pays only the flag reduction)
     sym_f = sym.reshape(-1)
-    _, esc_flags = split_escapes(sym_f, idx.reshape(-1), kp.reshape(-1), t)
+    esc_flags = esc_flags.reshape(-1)
     n_esc = esc_flags.sum(dtype=jnp.int32)
 
     def build_esc(_):
@@ -214,8 +221,8 @@ def encode_stages(stages, t: DeviceTables, lanes: int = DEFAULT_LANES):
     on symbols, not coder state): exact raw int32 values as (lo, hi) uint16
     pairs in decode order; n_esc counts escapes (esc words used = 2*n_esc).
     """
-    v, idx, kp, sym = _stage_grids(stages, t, lanes)
-    return encode_grids(v, idx, kp, sym, t, lanes)
+    v, idx, kp, esc, sym = _stage_grids(stages, t, lanes)
+    return encode_grids(v, idx, kp, esc, sym, t, lanes)
 
 
 def decoder_init(stream: jax.Array, lanes: int = DEFAULT_LANES) -> DecoderState:
@@ -322,7 +329,7 @@ def encode_stages_grouped(stages, t: DeviceTables, lanes: int = DEFAULT_LANES,
     assert lanes % groups == 0
     kt = lanes // groups
     states = jnp.full((lanes,), RANS_L, dtype=jnp.uint32)
-    v, idx, kp, sym = _stage_grids(stages, t, lanes)
+    v, idx, kp, esc_flags, sym = _stage_grids(stages, t, lanes)
     states, words, flags = encode_stage_scan(states, v, idx, kp, t)
 
     p_total = words.shape[0]
@@ -340,9 +347,9 @@ def encode_stages_grouped(stages, t: DeviceTables, lanes: int = DEFAULT_LANES,
     rows = jnp.broadcast_to(jnp.arange(groups)[:, None], gf.shape)
     payload = payload.at[rows, jnp.where(gf, pos, cap)].set(gw, mode="drop")
 
-    # per-group escape segments (cond-gated like the single-stream path)
-    _, esc_flags = split_escapes(sym.reshape(-1), idx.reshape(-1), kp.reshape(-1), t)
-    ge = to_groups(esc_flags.reshape(p_total, lanes))
+    # per-group escape segments (cond-gated like the single-stream path;
+    # esc_flags come from _stage_grids — computed once per stage)
+    ge = to_groups(esc_flags)
     n_escs = ge.sum(axis=1, dtype=jnp.int32)
 
     def build_escs(_):

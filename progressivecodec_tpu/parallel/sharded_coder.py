@@ -44,20 +44,20 @@ def sharded_encode_stages(stages, t: DeviceTables, lanes: int, mesh: Mesh,
     groups = mesh.shape[axis]
     assert lanes % groups == 0, f"lanes {lanes} not divisible by {groups} devices"
     kt = lanes // groups
-    v, idx, kp, sym = rans_device._stage_grids(stages, t, lanes)
-    blocks = [ _to_group_blocks(g, groups) for g in (v, idx, kp, sym) ]
+    v, idx, kp, esc, sym = rans_device._stage_grids(stages, t, lanes)
+    blocks = [_to_group_blocks(g, groups) for g in (v, idx, kp, esc, sym)]
 
-    def local(vb, ib, kb, sb):
-        stream, n_words, esc, n_esc = rans_device.encode_grids(
-            vb[0], ib[0], kb[0], sb[0], t, kt
+    def local(vb, ib, kb, eb, sb):
+        stream, n_words, esc_seg, n_esc = rans_device.encode_grids(
+            vb[0], ib[0], kb[0], eb[0], sb[0], t, kt
         )
-        return stream[None], n_words[None], esc[None], n_esc[None]
+        return stream[None], n_words[None], esc_seg[None], n_esc[None]
 
     spec = P(axis, None, None)
     out_specs = (P(axis, None), P(axis), P(axis, None), P(axis))
     return jax.jit(
         shard_map(
-            local, mesh=mesh, in_specs=(spec, spec, spec, spec),
+            local, mesh=mesh, in_specs=(spec, spec, spec, spec, spec),
             out_specs=out_specs, check_rep=False,
         )
     )(*blocks)

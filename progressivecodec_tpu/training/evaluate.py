@@ -75,14 +75,23 @@ def entropy_estimate_eval(
     images: Iterable[np.ndarray],
     pr_list: Sequence[float] = (0.0, 10.0),
     mask_pol: str | None = None,
+    lmbda_list: Sequence[float] | None = None,
 ) -> dict:
     """Likelihood-based bpp + PSNR (valid_epoch/test_epoch analog,
-    step.py:153-267) — the cross-check partner of evaluate_codec."""
+    step.py:153-267) — the cross-check partner of evaluate_codec.
+
+    When lmbda_list is given, also returns "loss": the reference's
+    validation criterion (step.py:187-189 — ScalableRateDistortionLoss on
+    a single-quality forward reduces to bpp + 255^2 * mean(lmbda) * mse,
+    loss.py:108-135) averaged over pr_list and images.  train.py:327-333
+    steps ReduceLROnPlateau on exactly this scalar.
+    """
     import math
 
     k = len(pr_list)
     bpp = np.zeros(k)
     ps = np.zeros(k)
+    mses = np.zeros(k)
     n = 0
     for img in images:
         x = jnp.asarray(img, jnp.float32)[None]
@@ -97,5 +106,10 @@ def entropy_estimate_eval(
             )
             x_hat = unpad_image(out["x_hat"], pads)
             ps[j] += float(psnr(x, x_hat))
+            mses[j] += float(jnp.mean((x - x_hat) ** 2))
         n += 1
-    return {"bpp": (bpp / n).tolist(), "psnr": (ps / n).tolist(), "n_images": n}
+    result = {"bpp": (bpp / n).tolist(), "psnr": (ps / n).tolist(), "n_images": n}
+    if lmbda_list is not None:
+        lm = float(np.mean(lmbda_list))
+        result["loss"] = float(np.mean(bpp / n + 255.0**2 * lm * (mses / n)))
+    return result
