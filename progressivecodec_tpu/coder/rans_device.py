@@ -27,17 +27,23 @@ _MASK16 = jnp.uint32(0xFFFF)
 
 
 class DeviceTables(NamedTuple):
-    """CoderTables as device arrays, packed for one-gather-per-symbol.
+    """CoderTables as device arrays, laid out for the scan hot loops.
 
-    enc_sf: (R*Lmax,) uint32 — start<<16 | freq, indexed by row*Lmax + sym
-    dec_packed: (R*2^16, 2) uint32 — [start<<16|freq, bitcast(value)] fused
-        rows indexed by row<<16 | cum, so the decode scan reads everything
-        it needs about a symbol with ONE gather
+    enc_sf: (R*Lmax,) uint32 — start<<16 | freq, indexed by row*Lmax + sym.
+        Encode indices are scan INPUTS, so this is gathered flat (fast)
+        before the scan ever runs.
+    dec_sf: (R*2^16,) uint32 — start<<16 | freq indexed by row<<16 | cum.
+        The ONLY in-scan gather: carry-dependent gathers cost ~12ns/elem
+        on TPU regardless of table size (tools/probe_decode2.py), so the
+        scan reads just this u32 and emits `cum`; the decoded value is
+        recovered by a flat post-scan gather from dec_val.
+    dec_val: (R*2^16,) int32 — symbol value indexed by row<<16 | cum.
     offset/max_symbol: per-row escape metadata (tiny)
     """
 
     enc_sf: jax.Array
-    dec_packed: jax.Array
+    dec_sf: jax.Array
+    dec_val: jax.Array
     lmax: int
     cdf_length: jax.Array  # (R,) int32
     offset: jax.Array  # (R,) int32
@@ -62,13 +68,10 @@ class DeviceTables(NamedTuple):
         )
         dec_val = (inv + t.offset[:, None].astype(np.int64)).astype(np.int32)
 
-        # fused [sf, val] rows: the decode scan reads both with ONE gather
-        dec_packed = np.stack(
-            [dec_sf.reshape(-1), dec_val.reshape(-1).view(np.uint32)], axis=1
-        )
         return DeviceTables(
             enc_sf=jnp.asarray(enc_sf.reshape(-1)),
-            dec_packed=jnp.asarray(dec_packed),
+            dec_sf=jnp.asarray(dec_sf.reshape(-1)),
+            dec_val=jnp.asarray(dec_val.reshape(-1)),
             lmax=lmax,
             cdf_length=jnp.asarray(t.cdf_length, jnp.int32),
             offset=jnp.asarray(t.offset, jnp.int32),
@@ -102,31 +105,69 @@ def split_escapes(symbols: jax.Array, indexes: jax.Array, keep: jax.Array, t: De
     return jnp.where(in_sup, jnp.clip(v, 0, maxs), maxs + 1), esc
 
 
+def _div_u32_by_u16(x: jax.Array, freq: jax.Array):
+    """Exact (q, r) = divmod(x, freq) for x < 2^32, freq in [1, 2^16].
+
+    TPU u32 division inside a scan is slow; two chained f32 divisions with
+    one-step two-sided corrections are exact: each f32 quotient estimate
+    has absolute error < 1 (operands < 2^24 exactly representable for the
+    high limb; the low limb's relative error ≤ ~2^-23 with quotient < 2^16),
+    so a single ±1 fix per limb recovers the integer result.
+    """
+    ff = freq.astype(jnp.float32)
+    hi = x >> 16
+    q1 = jnp.floor(hi.astype(jnp.float32) / ff).astype(jnp.uint32)
+    r1 = hi - q1 * freq
+    neg = r1 > jnp.uint32(0x7FFFFFFF)
+    q1 = jnp.where(neg, q1 - 1, q1)
+    r1 = jnp.where(neg, r1 + freq, r1)
+    over = r1 >= freq
+    q1 = jnp.where(over, q1 + 1, q1)
+    r1 = jnp.where(over, r1 - freq, r1)
+    y = (r1 << 16) | (x & _MASK16)
+    q2 = jnp.floor(y.astype(jnp.float32) / ff).astype(jnp.uint32)
+    r2 = y - q2 * freq
+    neg2 = r2 > jnp.uint32(0x7FFFFFFF)
+    q2 = jnp.where(neg2, q2 - 1, q2)
+    r2 = jnp.where(neg2, r2 + freq, r2)
+    over2 = r2 >= freq
+    q2 = jnp.where(over2, q2 + 1, q2)
+    r2 = jnp.where(over2, r2 - freq, r2)
+    return (q1 << 16) + q2, r2
+
+
 def encode_stage_scan(states: jax.Array, v: jax.Array, idx: jax.Array, keep: jax.Array, t: DeviceTables):
     """Run the reverse-position encode scan for one stage.
 
     v, idx, keep: (P, K) grids.  Returns (states', words (P,K) uint16,
     flags (P,K) bool) with rows already re-ordered to decode (ascending)
     order.
+
+    The (start, freq) gather is input-indexed, so it runs as ONE flat
+    gather before the scan; the scan body is pure vector math (renorm +
+    exact f32-limb division) — ~10x the in-scan-gather design
+    (tools/probe_redesign.py).
     """
+    sf_all = t.enc_sf[idx * t.lmax + v]  # (P, K) flat pre-gather
+    # barrier: stop XLA re-fusing the gather into the scan body (in-scan
+    # gathers serialize at ~12ns/elem; materialized flat gathers don't)
+    sf_all = jax.lax.optimization_barrier(sf_all)
 
     def step(states, inp):
-        vi, ii, ki = inp
-        sf = t.enc_sf[ii * t.lmax + vi]
+        sf, ki = inp
         start = sf >> 16
         freq = jnp.where(ki, sf & _MASK16, jnp.uint32(1))
         x_max = freq << 16
         flag = ki & (states >= x_max)
         words = (states & _MASK16).astype(jnp.uint16)
         x = jnp.where(flag, states >> 16, states)
-        q = x // freq
-        r = x - q * freq
+        q, r = _div_u32_by_u16(x, freq)
         new_states = (q << 16) + r + start
         states = jnp.where(ki, new_states, states)
         return states, (words, flag)
 
     # scan over reversed position order
-    states, (words, flags) = jax.lax.scan(step, states, (v[::-1], idx[::-1], keep[::-1]))
+    states, (words, flags) = jax.lax.scan(step, states, (sf_all[::-1], keep[::-1]))
     return states, words[::-1], flags[::-1]
 
 
@@ -220,9 +261,84 @@ def encode_stages(stages, t: DeviceTables, lanes: int = DEFAULT_LANES):
     The escape segment is built OUTSIDE the scan (escape flags depend only
     on symbols, not coder state): exact raw int32 values as (lo, hi) uint16
     pairs in decode order; n_esc counts escapes (esc words used = 2*n_esc).
+
+    NOTE: this is the one-shot composition (used by tests and the
+    shard_map'd sharded coder, which need a single program).  The hot
+    single-device codec path calls the three phases below as SEPARATE
+    executables — composing flat ops with the scan in one XLA program
+    degrades both by ~3x (layout/fusion pathology, tools/probe_redesign.py
+    + bisect logs in runs/).
     """
     v, idx, kp, esc, sym = _stage_grids(stages, t, lanes)
     return encode_grids(v, idx, kp, esc, sym, t, lanes)
+
+
+# --- split-executable encode phases (single-device hot path) -------------
+
+
+def encode_prepare(stages, t: DeviceTables, lanes: int = DEFAULT_LANES):
+    """Phase 1 (flat): grids + the input-indexed (start,freq) pre-gather.
+
+    Returns (sf_rev (P,K) u32, kp_rev (P,K) bool, esc_flags (P,K) bool,
+    sym (P,K) i32) with the scan inputs already position-reversed."""
+    v, idx, kp, esc, sym = _stage_grids(stages, t, lanes)
+    sf = t.enc_sf[idx * t.lmax + v]
+    return sf[::-1], kp[::-1], esc, sym
+
+
+def encode_scan_rev(sf_rev: jax.Array, kp_rev: jax.Array, lanes: int):
+    """Phase 2 (pure scan): reverse-position encode over pre-gathered
+    (start,freq).  Returns (states, words_rev (P,K) u16, flags_rev (P,K))."""
+    states = jnp.full((lanes,), RANS_L, dtype=jnp.uint32)
+
+    def step(states, inp):
+        sf, ki = inp
+        start = sf >> 16
+        freq = jnp.where(ki, sf & _MASK16, jnp.uint32(1))
+        x_max = freq << 16
+        flag = ki & (states >= x_max)
+        words = (states & _MASK16).astype(jnp.uint16)
+        x = jnp.where(flag, states >> 16, states)
+        q, r = _div_u32_by_u16(x, freq)
+        new_states = (q << 16) + r + start
+        states = jnp.where(ki, new_states, states)
+        return states, (words, flag)
+
+    states, (words, flags) = jax.lax.scan(step, states, (sf_rev, kp_rev))
+    return states, words, flags
+
+
+def encode_finalize(states, words_rev, flags_rev, esc_flags, sym, lanes: int):
+    """Phase 3 (flat): payload compaction, escape segment, lane-state head."""
+    words = words_rev[::-1].reshape(-1)
+    flags = flags_rev[::-1].reshape(-1)
+    n_payload = flags.sum(dtype=jnp.int32)
+    pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    cap = words.shape[0]
+    payload = jnp.zeros((cap,), jnp.uint16)
+    payload = payload.at[jnp.where(flags, pos, cap)].set(words, mode="drop")
+
+    sym_f = sym.reshape(-1)
+    esc_flags = esc_flags.reshape(-1)
+    n_esc = esc_flags.sum(dtype=jnp.int32)
+
+    def build_esc(_):
+        epos = jnp.cumsum(esc_flags.astype(jnp.int32)) - 1
+        raw = sym_f.astype(jnp.uint32)
+        e = jnp.zeros((2 * cap,), jnp.uint16)
+        tgt = jnp.where(esc_flags, 2 * epos, 2 * cap)
+        e = e.at[tgt].set((raw & _MASK16).astype(jnp.uint16), mode="drop")
+        return e.at[tgt + 1].set((raw >> 16).astype(jnp.uint16), mode="drop")
+
+    esc = jax.lax.cond(
+        n_esc > 0, build_esc, lambda _: jnp.zeros((2 * cap,), jnp.uint16), None
+    )
+
+    head = jnp.zeros((2 * lanes,), jnp.uint16)
+    head = head.at[0::2].set((states & _MASK16).astype(jnp.uint16))
+    head = head.at[1::2].set((states >> 16).astype(jnp.uint16))
+    stream = jnp.concatenate([head, payload])
+    return stream, n_payload + 2 * lanes, esc, n_esc
 
 
 def decoder_init(stream: jax.Array, lanes: int = DEFAULT_LANES) -> DecoderState:
@@ -230,6 +346,93 @@ def decoder_init(stream: jax.Array, lanes: int = DEFAULT_LANES) -> DecoderState:
     states = head[0::2] | (head[1::2] << 16)
     return DecoderState(states=states, offset=jnp.int32(2 * lanes),
                         esc_offset=jnp.int32(0))
+
+
+def decode_stage_scan(
+    dec: DecoderState,
+    stream: jax.Array,
+    indexes_grid: jax.Array,
+    keep_grid: jax.Array,
+    t: DeviceTables,
+    lanes: int = DEFAULT_LANES,
+):
+    """The decode state recursion for one stage (pure scan phase).
+
+    indexes_grid/keep_grid: (P, K).  Returns (states, offset, cums (P,K))
+    — `cums` are the per-position CDF positions from which the decoded
+    values are recovered by a flat gather in decode_stage_values.
+    """
+    # slack so the contiguous window read never clips at the stream tail
+    stream = jnp.concatenate([stream, jnp.zeros((lanes,), jnp.uint16)])
+    lane_iota = jnp.arange(lanes, dtype=jnp.int32)
+
+    def step(carry, inp):
+        states, offset = carry
+        ii, ki = inp
+        cum = states & _MASK16
+        lin = (ii << 16) + cum.astype(jnp.int32)
+        sf = t.dec_sf[lin]  # the only in-scan gather
+        start = sf >> 16
+        freq = sf & _MASK16
+        adv = freq * (states >> 16) + cum - start
+        flag = ki & (adv < jnp.uint32(RANS_L))
+        csum = jnp.cumsum(flag.astype(jnp.int32))
+        # all words consumed this step are contiguous at `offset` — load the
+        # window once, then distribute word j to the j-th flagged lane.
+        # csum-1 is monotone, so the distribution is a 0/1 matrix: one MXU
+        # matvec beats the in-window gather ~5x (probe_decode2.py); exact
+        # because window values are u16 < 2^24.
+        window = jax.lax.dynamic_slice(stream, (offset,), (lanes,))
+        onehot = (csum[:, None] - 1 == lane_iota[None, :]).astype(jnp.float32)
+        w = jnp.dot(onehot, window.astype(jnp.float32),
+                    preferred_element_type=jnp.float32).astype(jnp.uint32)
+        adv = jnp.where(flag, (adv << 16) | w, adv)
+        states = jnp.where(ki, adv, states)
+        offset = offset + csum[-1]
+        return (states, offset), cum
+
+    (states, offset), cums = jax.lax.scan(step, (dec.states, dec.offset), (indexes_grid, keep_grid))
+    return states, offset, cums
+
+
+def decode_stage_values(
+    esc_offset,
+    cums: jax.Array,
+    esc: jax.Array,
+    indexes: jax.Array,
+    keep: jax.Array,
+    t: DeviceTables,
+    lanes: int = DEFAULT_LANES,
+):
+    """Recover decoded values from scan `cums` (flat phase).
+
+    Returns (esc_offset', values (n,) int32).  The decoded value is not on
+    the scan's critical path (the state recursion needs only start/freq),
+    so it is ONE flat gather here; escape sentinels are substituted with
+    their exact int32 from the escape segment, in order, behind a cond.
+    """
+    n = indexes.shape[0]
+    idx = _pad_to_grid(indexes.astype(jnp.int32), lanes)
+    kp = _pad_to_grid(keep.astype(bool), lanes)
+    vals = t.dec_val[(idx << 16) + cums.astype(jnp.int32)]
+    vals = jnp.where(kp, vals, 0).reshape(-1)[:n]
+
+    idx_f = indexes.astype(jnp.int32)
+    kp_f = keep.astype(bool)
+    sentinel = t.offset[idx_f] + t.max_symbol[idx_f] + 1
+    esc_flag = kp_f & (vals == sentinel)
+    n_esc = esc_flag.sum(dtype=jnp.int32)
+
+    def substitute(v):
+        j = esc_offset + 2 * (jnp.cumsum(esc_flag.astype(jnp.int32)) - 1)
+        safe = jnp.where(esc_flag, j, 0)
+        lo = esc[jnp.clip(safe, 0, esc.shape[0] - 1)].astype(jnp.uint32)
+        hi = esc[jnp.clip(safe + 1, 0, esc.shape[0] - 1)].astype(jnp.uint32)
+        raw = (lo | (hi << 16)).astype(jnp.int32)
+        return jnp.where(esc_flag, raw, v)
+
+    vals = jax.lax.cond(n_esc > 0, substitute, lambda v: v, vals)
+    return esc_offset + 2 * n_esc, vals
 
 
 def decode_stage(
@@ -243,60 +446,16 @@ def decode_stage(
 ):
     """Decode one stage of n symbols; returns (dec', values (n,) int32).
 
-    esc: uint16 escape segment (raw-value pairs); a decoded sentinel value
-    is replaced by its exact int32 from the segment, consumed in order.
+    One-shot composition of decode_stage_scan + decode_stage_values (the
+    hot codec path dispatches the two phases as separate executables —
+    see encode_stages NOTE).
     """
-    n = indexes.shape[0]
     idx = _pad_to_grid(indexes.astype(jnp.int32), lanes)
     kp = _pad_to_grid(keep.astype(bool), lanes)
-    # slack so the contiguous window read never clips at the stream tail
-    stream = jnp.concatenate([stream, jnp.zeros((lanes,), jnp.uint16)])
-
-    def step(carry, inp):
-        states, offset = carry
-        ii, ki = inp
-        cum = states & _MASK16
-        lin = (ii << 16) + cum.astype(jnp.int32)
-        packed = t.dec_packed[lin]  # one gather: [sf, val]
-        sf = packed[:, 0]
-        start = sf >> 16
-        freq = sf & _MASK16
-        adv = freq * (states >> 16) + cum - start
-        flag = ki & (adv < jnp.uint32(RANS_L))
-        csum = jnp.cumsum(flag.astype(jnp.int32))
-        # all words consumed this step are contiguous at `offset` — load the
-        # window once, then index within it (avoids a global gather)
-        window = jax.lax.dynamic_slice(stream, (offset,), (lanes,))
-        w = window[jnp.clip(csum - 1, 0, lanes - 1)].astype(jnp.uint32)
-        adv = jnp.where(flag, (adv << 16) | w, adv)
-        states = jnp.where(ki, adv, states)
-        offset = offset + csum[-1]
-        vals = jnp.where(ki, packed[:, 1].astype(jnp.int32), 0)
-        return (states, offset), vals
-
-    (states, offset), vals = jax.lax.scan(step, (dec.states, dec.offset), (idx, kp))
-    vals = vals.reshape(-1)[:n]
-
-    # escape substitution (outside the scan: flat, order-preserving).
-    # Escapes are ~never in normal operation, so the gather work is gated
-    # behind a device-side cond; the common path pays one compare+sum.
-    idx_f = indexes.astype(jnp.int32)
-    kp_f = keep.astype(bool)
-    sentinel = t.offset[idx_f] + t.max_symbol[idx_f] + 1
-    esc_flag = kp_f & (vals == sentinel)
-    n_esc = esc_flag.sum(dtype=jnp.int32)
-
-    def substitute(v):
-        j = dec.esc_offset + 2 * (jnp.cumsum(esc_flag.astype(jnp.int32)) - 1)
-        safe = jnp.where(esc_flag, j, 0)
-        lo = esc[jnp.clip(safe, 0, esc.shape[0] - 1)].astype(jnp.uint32)
-        hi = esc[jnp.clip(safe + 1, 0, esc.shape[0] - 1)].astype(jnp.uint32)
-        raw = (lo | (hi << 16)).astype(jnp.int32)
-        return jnp.where(esc_flag, raw, v)
-
-    vals = jax.lax.cond(n_esc > 0, substitute, lambda v: v, vals)
-    esc_offset = dec.esc_offset + 2 * n_esc
-
+    states, offset, cums = decode_stage_scan(dec, stream, idx, kp, t, lanes)
+    esc_offset, vals = decode_stage_values(
+        dec.esc_offset, cums, esc, indexes, keep, t, lanes
+    )
     return DecoderState(states, offset, esc_offset), vals
 
 
@@ -406,13 +565,14 @@ def decode_stage_grouped(
         [streams, jnp.zeros((groups, kt), jnp.uint16)], axis=1
     )
 
+    lane_iota = jnp.arange(kt, dtype=jnp.int32)
+
     def step(carry, inp):
         states, offsets = carry
         ii, ki = inp
         cum = states & _MASK16
         lin = (ii << 16) + cum.astype(jnp.int32)
-        packed = t.dec_packed[lin]  # one gather: [sf, val]
-        sf = packed[:, 0]
+        sf = t.dec_sf[lin]  # the only in-scan gather
         start = sf >> 16
         freq = sf & _MASK16
         adv = freq * (states >> 16) + cum - start
@@ -422,16 +582,23 @@ def decode_stage_grouped(
         window = jax.vmap(
             lambda s, o: jax.lax.dynamic_slice(s, (o,), (kt,))
         )(streams, offsets)
-        w = jnp.take_along_axis(
-            window, jnp.clip(csum - 1, 0, kt - 1), axis=1
+        # per-group monotone distribution as a batched 0/1 matmul (see
+        # decode_stage) — exact for u16 words
+        onehot = (csum[:, :, None] - 1 == lane_iota[None, None, :]).astype(
+            jnp.float32
+        )
+        w = jnp.einsum(
+            "gkj,gj->gk", onehot, window.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
         ).reshape(-1).astype(jnp.uint32)
         adv = jnp.where(flag, (adv << 16) | w, adv)
         states = jnp.where(ki, adv, states)
         offsets = offsets + csum[:, -1]
-        vals = jnp.where(ki, packed[:, 1].astype(jnp.int32), 0)
-        return (states, offsets), vals
+        return (states, offsets), cum
 
-    (states, offsets), vals = jax.lax.scan(step, (dec.states, dec.offsets), (idx, kp))
+    (states, offsets), cums = jax.lax.scan(step, (dec.states, dec.offsets), (idx, kp))
+    vals = t.dec_val[(idx << 16) + cums.astype(jnp.int32)]
+    vals = jnp.where(kp, vals, 0)
     p_total = idx.shape[0]
 
     # per-group escape substitution in group order (cond-gated: escapes

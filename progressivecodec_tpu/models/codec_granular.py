@@ -146,13 +146,23 @@ class GranularCodec(Codec):
 
     @functools.cached_property
     def _J_encode(self):
+        """Three separate executables (prepare/scan/finalize): composing
+        the flat phases with the scan in ONE program degrades both ~3x
+        (XLA layout/fusion pathology; see rans_device.encode_stages NOTE)."""
         t = self.device_tables
         lanes = self.lanes
+        prep = jax.jit(lambda stages: rans_device.encode_prepare(stages, t, lanes))
+        scan = jax.jit(lambda sf, kp: rans_device.encode_scan_rev(sf, kp, lanes))
+        fin = jax.jit(
+            lambda st, w, f, ef, sym: rans_device.encode_finalize(st, w, f, ef, sym, lanes)
+        )
 
         def fn(stages):
-            return rans_device.encode_stages(stages, t, lanes)
+            sf_rev, kp_rev, esc_flags, sym = prep(stages)
+            states, words_rev, flags_rev = scan(sf_rev, kp_rev)
+            return fin(states, words_rev, flags_rev, esc_flags, sym)
 
-        return jax.jit(fn)
+        return fn
 
     @functools.cached_property
     def _J_encode_grouped(self):
@@ -212,15 +222,33 @@ class GranularCodec(Codec):
 
     @functools.cached_property
     def _J_decode_stage(self):
+        """Split scan/flat executables (see _J_encode)."""
         t = self.device_tables
         lanes = self.lanes
+        pad = jax.jit(
+            lambda idx, kp: (
+                rans_device._pad_to_grid(idx.astype(jnp.int32), lanes),
+                rans_device._pad_to_grid(kp.astype(bool), lanes),
+            )
+        )
+        scan = jax.jit(
+            lambda st, off, stream, ig, kg: rans_device.decode_stage_scan(
+                DecoderState(st, off, jnp.int32(0)), stream, ig, kg, t, lanes
+            )
+        )
+        values = jax.jit(
+            lambda eo, cums, esc, idx, kp: rans_device.decode_stage_values(
+                eo, cums, esc, idx, kp, t, lanes
+            )
+        )
 
         def fn(states, offset, esc_offset, stream, esc, indexes, keep):
-            dec = DecoderState(states, offset, esc_offset)
-            dec, vals = rans_device.decode_stage(dec, stream, esc, indexes, keep, t, lanes)
-            return dec.states, dec.offset, dec.esc_offset, vals
+            ig, kg = pad(indexes, keep)
+            states, offset, cums = scan(states, offset, stream, ig, kg)
+            esc_offset, vals = values(esc_offset, cums, esc, indexes, keep)
+            return states, offset, esc_offset, vals
 
-        return jax.jit(fn)
+        return fn
 
     # ---------- helpers ----------
 

@@ -523,6 +523,7 @@ class ChannelProgressiveWACNN(nn.Module):
                 cust_map=self._map_stack(cust_map),
             )
             mask = apply_mask_noise(mask, False)
+            mask_cat = self._unstack_channels(mask)
             y_m = (y_prog - mu_st) * mask
             _, lik_stack = gaussian_forward(y_m, scale_st * mask, None, training=training, rng=rng)
             y_lik.append(self._unstack_channels(lik_stack))
@@ -537,7 +538,7 @@ class ChannelProgressiveWACNN(nn.Module):
         else:
             prog_slices = []
             mu_total, std_total = [], []
-            mu_prog_list, std_prog_list = [], []
+            mu_prog_list, std_prog_list, mask_list = [], [], []
             for i in range(cfg.num_prog_slices):
                 y_slice = y_slices[cfg.ns0 + i]
                 if cfg.delta_encode:
@@ -557,6 +558,7 @@ class ChannelProgressiveWACNN(nn.Module):
                     scale, quality, mask_pol, i, y_hat_base[i], self._map_slice(cust_map, i)
                 )
                 mask = apply_mask_noise(mask, False)
+                mask_list.append(mask)
                 y_m = (y_slice - mu) * mask
                 _, lik = gaussian_forward(y_m, scale * mask, None, training=training, rng=rng)
                 y_lik.append(lik)
@@ -569,6 +571,7 @@ class ChannelProgressiveWACNN(nn.Module):
                 prog_slices.append(y_hat_slice)
             mu_prog_cat = jnp.concatenate(mu_prog_list, axis=-1)
             std_prog_cat = jnp.concatenate(std_prog_list, axis=-1)
+            mask_cat = jnp.concatenate(mask_list, axis=-1)
             y_hat_p = jnp.concatenate(prog_slices, axis=-1)
         x_hat = jnp.clip(self._apply_refine(self._synth_net(1)(y_hat_p), 1), 0.0, 1.0)
         return {
@@ -577,6 +580,7 @@ class ChannelProgressiveWACNN(nn.Module):
             "y_hat": y_hat_p,
             "mu": mu_prog_cat,
             "std": std_prog_cat,
+            "mask": mask_cat,
             "mu_base": jnp.concatenate(mu_base_list, axis=-1),
             "std_base": jnp.concatenate(std_base_list, axis=-1),
         }
