@@ -115,6 +115,8 @@ def main(argv=None):
         plot_rd(
             [
                 rd_curve_dict(PROGRESSIVE_ANCHOR_BPP, PROGRESSIVE_ANCHOR_PSNR, "reference fixed_pret"),
+                rd_curve_dict(TRI_PLANET_23_BPP, TRI_PLANET_23_PSNR, "tri_planet_23"),
+                rd_curve_dict(TRI_PLANET_22_BPP, TRI_PLANET_22_PSNR, "tri_planet_22"),
                 rd_curve_dict(res["bpp"], res["psnr"], "ours"),
             ],
             args.plot,

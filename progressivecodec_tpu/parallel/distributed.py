@@ -22,7 +22,10 @@ def initialize_from_env() -> tuple[int, int]:
     single-process otherwise).  Returns (process_index, process_count).
     """
     addr = os.environ.get("COORDINATOR_ADDRESS")
-    if addr and jax.process_count() == 1:
+    if addr:
+        # must run before ANYTHING initializes the XLA backend — even
+        # jax.process_count() counts as backend-touching, so the guard is
+        # purely env-var based
         jax.distributed.initialize(
             coordinator_address=addr,
             num_processes=int(os.environ["PROCESS_COUNT"]),
