@@ -92,7 +92,7 @@ class Codec:
         groups = int(data.get("groups", 1))
         head = MAGIC + struct.pack(
             "<fHHHHBB", data["quality"], data["batch"], *data["z_shape"],
-            self.lanes, groups, len(mp),
+            int(data.get("lanes", self.lanes)), groups, len(mp),
         )
         if groups > 1:
             segments = list(zip(data["streams"], data["escs"]))
@@ -113,7 +113,8 @@ class Codec:
         quality, batch, zh, zw, lanes, groups, mlen = struct.unpack(
             "<fHHHHBB", blob[4:18]
         )
-        if lanes != self.lanes:
+        if groups > 1 and lanes != self.lanes:
+            # grouped streams bind lane layout to the mesh topology
             raise ValueError(
                 f"container coded with {lanes} lanes; codec configured for {self.lanes}"
             )
@@ -132,6 +133,7 @@ class Codec:
             "batch": batch,
             "quality": quality,
             "mask_pol": mp,
+            "lanes": lanes,
         }
         if groups > 1:
             out.update({"streams": streams, "escs": escs, "groups": groups})

@@ -48,3 +48,22 @@ def test_bd_rate_sanity():
     np.testing.assert_allclose(bd_rate(bpp, psnr, bpp / 2, psnr), -50.0, atol=1e-6)
     # curve needing double the rate -> +100%
     np.testing.assert_allclose(bd_rate(bpp, psnr, bpp * 2, psnr), 100.0, atol=1e-5)
+
+
+def test_reference_anchor_tables():
+    """Anchor data parity (result_list.py:1-127, 168-214): lengths, ranges,
+    and the decode-time table the bench baseline quotes."""
+    from progressivecodec_tpu.utils import rd
+
+    assert len(rd.PROGRESSIVE_ANCHOR_BPP) == len(rd.PROGRESSIVE_ANCHOR_PSNR) == 62
+    assert (
+        len(rd.TRI_PLANET_23_BPP)
+        == len(rd.TRI_PLANET_23_PSNR)
+        == len(rd.TRI_PLANET_23_DECODE_TIME_S)
+        == 21
+    )
+    assert len(rd.TRI_PLANET_22_BPP) == len(rd.TRI_PLANET_22_PSNR) == 27
+    # tri_planet_22 stored ascending in bpp (the reference reverses its list)
+    assert list(rd.TRI_PLANET_22_BPP) == sorted(rd.TRI_PLANET_22_BPP)
+    assert rd.DECODE_TIME_ANCHOR_RANGE_S == (2.3025, 9.1804)
+    assert len(rd.QUALITY_GRID) == 61
