@@ -71,6 +71,30 @@ def test_granular_batched_roundtrip(setup):
     )
 
 
+def test_granular_device_resident_roundtrip(setup):
+    """to_host=False keeps the container on device (bench.py's pipelined
+    path): it must round-trip AND carry the byte-identical stream the
+    host path produces."""
+    model, variables = setup
+    codec = GranularCodec(model, variables, lanes=64)
+    x = jax.random.uniform(jax.random.PRNGKey(13), (2, 64, 64, 3))
+    for q in [0, 5]:
+        d_host = codec.compress(x, quality=q)
+        d_dev = codec.compress(x, quality=q, to_host=False)
+        assert "stream_dev" in d_dev and "num_bytes" not in d_dev
+        nw = int(d_dev["n_words_dev"])
+        ne = int(d_dev["n_esc_dev"])
+        assert 2 * (nw + 2 * ne) == d_host["num_bytes"]
+        np.testing.assert_array_equal(np.asarray(d_dev["stream_dev"][:nw]), d_host["stream"])
+        np.testing.assert_array_equal(np.asarray(d_dev["esc_dev"][: 2 * ne]), d_host["esc"])
+        out = codec.decompress(d_dev)
+        assert bool(out["stream_ok"]), f"q={q}"
+        ref = codec.decompress(d_host)
+        np.testing.assert_allclose(
+            np.asarray(out["x_hat"]), np.asarray(ref["x_hat"]), atol=0
+        )
+
+
 def test_granular_rem_roundtrip():
     """The REM variant now runs through the granular (shared-executable)
     codec, including its refinement banks in the shared prog fragment."""
