@@ -119,6 +119,7 @@ class GranularCodec(Codec):
                             "h_scale_s0", "h_scale_s1"),
         "codec_base_params": ("cc_mean", "cc_scale"),
         "codec_base_recon": ("lrp",),
+        "codec_base_step": ("cc_mean", "cc_scale", "lrp"),
         "codec_prog_stacked": ("cc_mean_prog", "cc_scale_prog"),
         "codec_prog_recon_stacked": ("lrp_prog",),
         "codec_synth": ("g_s0", "g_s1", "g_s", "refine", "refine0", "refine1"),
@@ -157,31 +158,75 @@ class GranularCodec(Codec):
     @functools.cached_property
     def _J_zquant(self):
         # with the escape extension the coder is lossless, so the encoder's
-        # reconstruction is simply the quantized symbol (no clamping)
+        # reconstruction is simply the quantized symbol (no clamping);
+        # outputs are stage-ready (flattened sym/idx) so no eager
+        # reshape/broadcast dispatches follow
         def fn(z, med):
             sym = jnp.round(z.astype(jnp.float32) - med).astype(jnp.int32)
             cz = z.shape[-1]
             idx = jnp.broadcast_to(jnp.arange(cz, dtype=jnp.int32), z.shape)
             z_hat = sym.astype(jnp.float32) + med
-            return sym, idx, z_hat
+            return sym.reshape(-1), idx.reshape(-1), z_hat
 
         return jax.jit(fn)
 
     @functools.cached_property
-    def _J_quant(self):
-        """Elementwise: (y, mu, idx) -> (symbols, dequantized values)."""
+    def _J_quant_slice(self):
+        """One executable for ALL base slices: takes the full latent and a
+        traced channel offset (lax.dynamic_slice), quantizes against mu and
+        returns the stage-ready flattened (symbols, cdf rows).  Replaces
+        the eager jnp.split + per-slice elementwise quant + idx/reshape
+        glue (~4 dispatches per slice at flagship width)."""
+        row0 = self.gauss_row0
 
-        def fn(y, mu, idx):
-            sym = jnp.round((y - mu).astype(jnp.float32)).astype(jnp.int32)
-            return sym, sym
+        def fn(y, lo, mu, idx):
+            dc = mu.shape[-1]
+            ys = jax.lax.dynamic_slice_in_dim(y, lo, dc, axis=3)
+            sym = jnp.round((ys - mu).astype(jnp.float32)).astype(jnp.int32)
+            return sym.reshape(-1), (idx + row0).reshape(-1)
 
         return jax.jit(fn)
 
     @functools.cached_property
-    def _J_quant_masked(self):
-        def fn(y, mu, mask, idx):
-            sym = jnp.round(((y - mu) * mask).astype(jnp.float32)).astype(jnp.int32)
-            return sym, sym
+    def _J_quant_masked_stacked(self):
+        """Stacked-prog quant: builds the (slices, b, h, w, dc) progressive
+        stack (delta-encoded against the base half when configured) inside
+        the executable, then quantizes under the mask.  Folds the former
+        _stack_y_prog (stack + per-slice subtract) and all stage-glue
+        reshapes into one dispatch."""
+        cfg = self.cfg
+        row0 = self.gauss_row0
+        ns0, n_prog, delta = cfg.ns0, cfg.num_prog_slices, cfg.delta_encode
+
+        def fn(y, mu, mask, keep, idx):
+            dc = mu.shape[-1]
+            b, h, w, _ = y.shape
+            y5 = y.reshape(b, h, w, -1, dc)
+            prog = y5[..., ns0 : ns0 + n_prog, :]
+            if delta:
+                prog = prog - y5[..., :n_prog, :]
+            y_prog = jnp.moveaxis(prog, 3, 0)
+            sym = jnp.round(((y_prog - mu) * mask).astype(jnp.float32)).astype(jnp.int32)
+            return sym.reshape(-1), (idx + row0).reshape(-1), keep.reshape(-1)
+
+        return jax.jit(fn)
+
+    @functools.cached_property
+    def _J_quant_prog_slice(self):
+        """Unrolled-prog quant for one slice at traced channel offset lo
+        (delta baked statically), stage-ready outputs."""
+        cfg = self.cfg
+        row0 = self.gauss_row0
+        base0 = cfg.ns0 * cfg.dim_chunk if self._progressive else 0
+        delta = bool(self._progressive and cfg.delta_encode)
+
+        def fn(y, lo, mu, mask, keep, idx):
+            dc = mu.shape[-1]
+            ys = jax.lax.dynamic_slice_in_dim(y, base0 + lo, dc, axis=3)
+            if delta:
+                ys = ys - jax.lax.dynamic_slice_in_dim(y, lo, dc, axis=3)
+            sym = jnp.round(((ys - mu) * mask).astype(jnp.float32)).astype(jnp.int32)
+            return sym.reshape(-1), (idx + row0).reshape(-1), keep.reshape(-1)
 
         return jax.jit(fn)
 
@@ -242,19 +287,21 @@ class GranularCodec(Codec):
 
             mesh, axis = self.coder_mesh, self.coder_axis
 
-            def fn(states, offsets, esc_offsets, streams, escs, indexes, keep):
+            def fn(states, offsets, esc_offsets, streams, escs, indexes, keep, off):
                 dec = rans_device.GroupedDecoderState(states, offsets, esc_offsets)
+                idx = (indexes + off).reshape(-1)
                 dec, vals = sharded_decode_stage(
-                    dec, streams, escs, indexes, keep, t, lanes, mesh, axis
+                    dec, streams, escs, idx, keep.reshape(-1), t, lanes, mesh, axis
                 )
                 return dec.states, dec.offsets, dec.esc_offsets, vals
 
             return fn
 
-        def fn(states, offsets, esc_offsets, streams, escs, indexes, keep):
+        def fn(states, offsets, esc_offsets, streams, escs, indexes, keep, off):
             dec = rans_device.GroupedDecoderState(states, offsets, esc_offsets)
             dec, vals = rans_device.decode_stage_grouped(
-                dec, streams, escs, indexes, keep, t, lanes, groups
+                dec, streams, escs, (indexes + off).reshape(-1), keep.reshape(-1),
+                t, lanes, groups
             )
             return dec.states, dec.offsets, dec.esc_offsets, vals
 
@@ -272,14 +319,19 @@ class GranularCodec(Codec):
         return cache[lanes]
 
     def _J_decode_stage_for(self, lanes: int):
-        """Split scan/flat executables (see _J_encode_for)."""
+        """Split scan/flat executables (see _J_encode_for).  Takes SHAPED
+        indexes/keep plus a traced cdf-row offset; the offset-add and
+        flatten are folded into the pad/values executables so the caller
+        issues no eager glue dispatches per stage."""
         cache = self.__dict__.setdefault("_dec_cache", {})
         if lanes not in cache:
             t = self.device_tables
             pad = jax.jit(
-                lambda idx, kp: (
-                    rans_device._pad_to_grid(idx.astype(jnp.int32), lanes),
-                    rans_device._pad_to_grid(kp.astype(bool), lanes),
+                lambda idx, kp, off: (
+                    rans_device._pad_to_grid(
+                        (idx + off).reshape(-1).astype(jnp.int32), lanes
+                    ),
+                    rans_device._pad_to_grid(kp.reshape(-1).astype(bool), lanes),
                 )
             )
             scan = jax.jit(
@@ -288,15 +340,16 @@ class GranularCodec(Codec):
                 )
             )
             values = jax.jit(
-                lambda eo, cums, esc, idx, kp: rans_device.decode_stage_values(
-                    eo, cums, esc, idx, kp, t, lanes
+                lambda eo, cums, esc, idx, kp, off: rans_device.decode_stage_values(
+                    eo, cums, esc, (idx + off).reshape(-1),
+                    kp.reshape(-1), t, lanes
                 )
             )
 
-            def fn(states, offset, esc_offset, stream, esc, indexes, keep):
-                ig, kg = pad(indexes, keep)
+            def fn(states, offset, esc_offset, stream, esc, indexes, keep, row_off):
+                ig, kg = pad(indexes, keep, row_off)
                 states, offset, cums = scan(states, offset, stream, ig, kg)
-                esc_offset, vals = values(esc_offset, cums, esc, indexes, keep)
+                esc_offset, vals = values(esc_offset, cums, esc, indexes, keep, row_off)
                 return states, offset, esc_offset, vals
 
             cache[lanes] = fn
@@ -322,35 +375,54 @@ class GranularCodec(Codec):
         s_, b, h, w, dc = x_stack.shape
         return x_stack.transpose(1, 2, 3, 0, 4).reshape(b, h, w, s_ * dc)
 
-    def _stack_y_prog(self, y_slices):
-        cfg = self.cfg
-        parts = []
-        for i in range(cfg.num_prog_slices):
-            yy = y_slices[cfg.ns0 + i]
-            if cfg.delta_encode:
-                yy = yy - y_slices[i]
-            parts.append(yy)
-        return jnp.stack(parts, axis=0)
-
     def _stacked(self) -> bool:
         return self._progressive and self.model._use_stacked_prog()
+
+    def _zidx(self, batch: int, hz: int, wz: int):
+        """Decoder z-stage cdf rows, cached per shape (constant)."""
+        cache = self.__dict__.setdefault("_zidx_cache", {})
+        key = (batch, hz, wz)
+        if key not in cache:
+            cache[key] = jnp.broadcast_to(
+                jnp.arange(self.cfg.N, dtype=jnp.int32), (batch, hz, wz, self.cfg.N)
+            )
+        return cache[key]
 
     # ---------- shared base pipeline ----------
 
     def _base_loop(self, lm, ls, vals_fn):
-        """Run the ChARM base slices; vals_fn(i, mu, idx) supplies integer
-        values (encoder: quantized; decoder: entropy-decoded)."""
+        """Run the ChARM base slices; vals_fn(i, mu, idx) supplies FLAT
+        integer values (encoder: quantized; decoder: entropy-decoded).
+        Uses the fused codec_base_step fragment (recon i-1 + params i in
+        one dispatch) for every interior slice."""
         cfg = self.cfg
+        max_sup = cfg.max_support_slices
         y_hat_base, mu_list, std_list = [], [], []
+        mu, scale, idx, ms = self._call(
+            "codec_base_params", (0,), lm, ls, (), self._scale_table
+        )
         for i in range(self._n_base):
-            support = tuple(y_hat_base[: min(i, cfg.max_support_slices)])
-            mu, scale, idx, ms = self._call(
-                "codec_base_params", (i,), lm, ls, support, self._scale_table
-            )
-            vals = vals_fn(i, mu, idx)
-            y_hat_base.append(self._call("codec_base_recon", (i,), ms, mu, vals))
             mu_list.append(mu)
             std_list.append(scale)
+            vals = vals_fn(i, mu, idx)
+            if i + 1 < self._n_base:
+                j = i + 1
+                sup_needed = min(j, max_sup)
+                include_prev = sup_needed > i
+                support = tuple(
+                    y_hat_base[: sup_needed - 1] if include_prev
+                    else y_hat_base[:sup_needed]
+                )
+                y_prev, mu, scale, idx, ms_next = self._call(
+                    "codec_base_step", (j, include_prev), lm, ls, support,
+                    self._scale_table, ms, mu_list[i], vals,
+                )
+                y_hat_base.append(y_prev)
+                ms = ms_next
+            else:
+                y_hat_base.append(
+                    self._call("codec_base_recon", (i,), ms, mu_list[i], vals)
+                )
         return y_hat_base, mu_list, std_list
 
     # ---------- public API ----------
@@ -376,41 +448,34 @@ class GranularCodec(Codec):
         self.update()
 
         z = self._call("codec_hyper_enc", (), y)
-        z_sym, z_idx, z_hat = self._J_zquant(z, self._medians())
+        z_sym_flat, z_idx_flat, z_hat = self._J_zquant(z, self._medians())
         lm, ls = self._call("codec_hyper_dec", (), z_hat)
 
-        y_slices = jnp.split(y, self._n_split, axis=-1)
-        stages = [(z_sym.reshape(-1), z_idx.reshape(-1), self._ones(z_sym.size))]
-
-        enc_syms = {}
+        dc_slice = y.shape[-1] // self._n_split
+        stages = [(z_sym_flat, z_idx_flat, self._ones(z_sym_flat.size))]
 
         def enc_vals(i, mu, idx):
-            sym, vals = self._J_quant(y_slices[i], mu, idx)
-            enc_syms[i] = (sym, idx)
-            return vals
+            sym_flat, idx_flat = self._J_quant_slice(y, np.int32(i * dc_slice), mu, idx)
+            stages.append((sym_flat, idx_flat, self._ones(sym_flat.size)))
+            return sym_flat
 
         y_hat_base, mu_list, std_list = self._base_loop(lm, ls, enc_vals)
-        for i in range(self._n_base):
-            sym, idx = enc_syms[i]
-            stages.append(
-                (sym.reshape(-1), (idx + self.gauss_row0).reshape(-1), self._ones(sym.size))
-            )
 
         y_hat_prog_cat = None
         if quality > 0 and self._progressive:
             if self._stacked():
-                y_prog = self._stack_y_prog(y_slices)
                 mu_st, scale_st, mask, keep, idx, ms, base_stack = self._call(
                     "codec_prog_stacked", (float(quality), mask_pol),
                     lm, ls, tuple(y_hat_base), self._scale_table, cust_map,
                 )
-                sym, vals = self._J_quant_masked(y_prog, mu_st, mask, idx)
-                stages.append(
-                    (sym.reshape(-1), (idx + self.gauss_row0).reshape(-1), keep.reshape(-1))
+                sym_flat, idx_flat, keep_flat = self._J_quant_masked_stacked(
+                    y, mu_st, mask, keep, idx
                 )
+                stages.append((sym_flat, idx_flat, keep_flat))
                 if simulate:
                     y_hat_st = self._call(
-                        "codec_prog_recon_stacked", (), ms, mu_st, vals, keep, base_stack
+                        "codec_prog_recon_stacked", (), ms, mu_st, sym_flat, keep,
+                        base_stack
                     )
                     y_hat_prog_cat = self._unstack(y_hat_st)
             else:
@@ -428,16 +493,14 @@ class GranularCodec(Codec):
                     )
                     std_total.append(scale if cfg.support_std else mut)
                     mu_total.append(mut)
-                    yy = y_slices[cfg.ns0 + i]
-                    if cfg.delta_encode:
-                        yy = yy - y_slices[i]
-                    sym, vals = self._J_quant_masked(yy, mu, mask, idx)
-                    stages.append(
-                        (sym.reshape(-1), (idx + self.gauss_row0).reshape(-1), keep.reshape(-1))
+                    sym_flat, idx_flat, keep_flat = self._J_quant_prog_slice(
+                        y, np.int32(i * dc_slice), mu, mask, keep, idx
                     )
+                    stages.append((sym_flat, idx_flat, keep_flat))
                     prog_slices.append(
                         self._call(
-                            "codec_prog_recon", (i,), ms, mu, vals, keep, y_hat_base[i]
+                            "codec_prog_recon", (i,), ms, mu, sym_flat, keep,
+                            y_hat_base[i]
                         )
                     )
                 if simulate:
@@ -544,10 +607,10 @@ class GranularCodec(Codec):
                 "esc_offsets": gdec.esc_offsets,
             }
 
-            def _dec_stage(indexes, keep):
+            def _dec_stage(indexes, keep, row_off):
                 s, o, eo, vals = self._J_decode_stage_grouped(
                     dec_state["states"], dec_state["offsets"],
-                    dec_state["esc_offsets"], streams, escs, indexes, keep,
+                    dec_state["esc_offsets"], streams, escs, indexes, keep, row_off,
                 )
                 dec_state["states"], dec_state["offsets"], dec_state["esc_offsets"] = s, o, eo
                 return vals
@@ -571,26 +634,23 @@ class GranularCodec(Codec):
             dec_state = {"states": states, "offset": offset, "esc_offset": esc_offset}
             _dec_stage_fn = self._J_decode_stage_for(stream_lanes)
 
-            def _dec_stage(indexes, keep):
+            def _dec_stage(indexes, keep, row_off):
                 s, o, eo, vals = _dec_stage_fn(
                     dec_state["states"], dec_state["offset"], dec_state["esc_offset"],
-                    stream, esc, indexes, keep,
+                    stream, esc, indexes, keep, row_off,
                 )
                 dec_state["states"], dec_state["offset"], dec_state["esc_offset"] = s, o, eo
                 return vals
 
-        z_idx = jnp.broadcast_to(
-            jnp.arange(cfg.N, dtype=jnp.int32), (batch, hz, wz, cfg.N)
-        )
-        z_vals = _dec_stage(z_idx.reshape(-1), self._ones(z_idx.size))
+        z_idx = self._zidx(batch, hz, wz)
+        z_vals = _dec_stage(z_idx, self._ones(z_idx.size), 0)
         z_hat = z_vals.reshape(batch, hz, wz, cfg.N).astype(jnp.float32) + self._medians()
         lm, ls = self._call("codec_hyper_dec", (), z_hat)
 
+        row0 = self.gauss_row0
+
         def dec_vals(i, mu, idx):
-            vals = _dec_stage(
-                (idx + self.gauss_row0).reshape(-1), self._ones(idx.size)
-            )
-            return vals.reshape(mu.shape)
+            return _dec_stage(idx, self._ones(idx.size), row0)
 
         y_hat_base, mu_list, std_list = self._base_loop(lm, ls, dec_vals)
 
@@ -603,10 +663,9 @@ class GranularCodec(Codec):
                 "codec_prog_stacked", (quality, mask_pol),
                 lm, ls, tuple(y_hat_base), self._scale_table, cust_map,
             )
-            vals = _dec_stage((idx + self.gauss_row0).reshape(-1), keep.reshape(-1))
+            vals = _dec_stage(idx, keep, self.gauss_row0)
             y_hat_st = self._call(
-                "codec_prog_recon_stacked", (), ms, mu_st,
-                vals.reshape(mu_st.shape), keep, base_stack,
+                "codec_prog_recon_stacked", (), ms, mu_st, vals, keep, base_stack
             )
             y_hat = self._unstack(y_hat_st)
         else:
@@ -624,11 +683,10 @@ class GranularCodec(Codec):
                 )
                 std_total.append(scale if cfg.support_std else mut)
                 mu_total.append(mut)
-                vals = _dec_stage((idx + self.gauss_row0).reshape(-1), keep.reshape(-1))
+                vals = _dec_stage(idx, keep, self.gauss_row0)
                 prog_slices.append(
                     self._call(
-                        "codec_prog_recon", (i,), ms, mu,
-                        vals.reshape(mu.shape), keep, y_hat_base[i],
+                        "codec_prog_recon", (i,), ms, mu, vals, keep, y_hat_base[i]
                     )
                 )
             y_hat = jnp.concatenate(prog_slices, axis=-1)

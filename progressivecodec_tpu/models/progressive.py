@@ -603,8 +603,20 @@ class ChannelProgressiveWACNN(nn.Module):
         return mu, scale, idx, ms
 
     def codec_base_recon(self, i: int, ms, mu, vals):
-        y0 = vals.astype(jnp.float32) + mu
+        y0 = vals.reshape(mu.shape).astype(jnp.float32) + mu
         return y0 + self._base_lrp(i, ms, y0)
+
+    def codec_base_step(self, j: int, include_prev: bool, lm, ls, support,
+                        scale_table, ms_prev, mu_prev, vals_prev):
+        """Fused fragment: recon of base slice j-1 + params of slice j in ONE
+        executable (halves the per-slice dispatch count; both codec sides
+        call this same fragment, preserving the shared-executable sigma
+        contract).  include_prev is True iff slice j-1 is inside slice j's
+        support window (max_support_slices)."""
+        y_prev = self.codec_base_recon(j - 1, ms_prev, mu_prev, vals_prev)
+        sup = list(support) + ([y_prev] if include_prev else [])
+        mu, scale, idx, ms = self.codec_base_params(j, lm, ls, sup, scale_table)
+        return y_prev, mu, scale, idx, ms
 
     def codec_prog_stacked(self, quality: float, mask_pol, lm, ls, y_hat_base, scale_table,
                            cust_map=None):
@@ -620,7 +632,7 @@ class ChannelProgressiveWACNN(nn.Module):
 
     def codec_prog_recon_stacked(self, ms, mu, vals, keep, base_stack):
         cfg = self.cfg
-        y0 = jnp.where(keep, vals.astype(jnp.float32), 0.0) + mu
+        y0 = jnp.where(keep, vals.reshape(mu.shape).astype(jnp.float32), 0.0) + mu
         if cfg.residual_before_lrp:
             y0 = y0 + base_stack
         lrp_in = jnp.concatenate([ms, y0], axis=-1)
@@ -650,7 +662,7 @@ class ChannelProgressiveWACNN(nn.Module):
 
     def codec_prog_recon(self, i: int, ms, mu, vals, keep, y_b_i):
         cfg = self.cfg
-        y0 = jnp.where(keep, vals.astype(jnp.float32), 0.0) + mu
+        y0 = jnp.where(keep, vals.reshape(mu.shape).astype(jnp.float32), 0.0) + mu
         if cfg.residual_before_lrp:
             y0 = self.merge(y0, y_b_i, i)
         y0 = y0 + self._prog_lrp(i, ms, y0)

@@ -140,8 +140,16 @@ class WACNN(nn.Module):
         return mu, scale, idx, ms
 
     def codec_base_recon(self, i: int, ms, mu, vals):
-        y0 = vals.astype(jnp.float32) + mu
+        y0 = vals.reshape(mu.shape).astype(jnp.float32) + mu
         return y0 + self.slice_lrp(i, ms, y0)
+
+    def codec_base_step(self, j: int, include_prev: bool, lm, ls, support,
+                        scale_table, ms_prev, mu_prev, vals_prev):
+        """Fused recon(j-1)+params(j) fragment (see progressive.codec_base_step)."""
+        y_prev = self.codec_base_recon(j - 1, ms_prev, mu_prev, vals_prev)
+        sup = list(support) + ([y_prev] if include_prev else [])
+        mu, scale, idx, ms = self.codec_base_params(j, lm, ls, sup, scale_table)
+        return y_prev, mu, scale, idx, ms
 
     def codec_synth(self, which: int, y_hat):
         return jnp.clip(self.g_s(y_hat), 0.0, 1.0)

@@ -46,25 +46,28 @@ class ProfiledCodec(GranularCodec):
             super()._call(name, statics, *args)  # compile
         return self._timed(f"frag:{name}", self._jits[key], self._fragment_vars(name), *args)
 
-    @property
-    def _J_encode(self):
-        inner = GranularCodec._J_encode.func(self)
+    def _J_encode_for(self, lanes):
+        inner = GranularCodec._J_encode_for(self, lanes)
         return lambda stages: self._timed("coder:encode", inner, stages)
 
-    @property
-    def _J_decode_stage(self):
-        inner = GranularCodec._J_decode_stage.func(self)
+    def _J_decode_stage_for(self, lanes):
+        inner = GranularCodec._J_decode_stage_for(self, lanes)
         return lambda *a: self._timed("coder:decode_stage", inner, *a)
 
     @property
-    def _J_quant(self):
-        inner = GranularCodec._J_quant.func(self)
+    def _J_quant_slice(self):
+        inner = GranularCodec._J_quant_slice.func(self)
         return lambda *a: self._timed("glue:quant", inner, *a)
 
     @property
-    def _J_quant_masked(self):
-        inner = GranularCodec._J_quant_masked.func(self)
+    def _J_quant_masked_stacked(self):
+        inner = GranularCodec._J_quant_masked_stacked.func(self)
         return lambda *a: self._timed("glue:quant_masked", inner, *a)
+
+    @property
+    def _J_quant_prog_slice(self):
+        inner = GranularCodec._J_quant_prog_slice.func(self)
+        return lambda *a: self._timed("glue:quant_prog", inner, *a)
 
     @property
     def _J_zquant(self):
