@@ -3,7 +3,8 @@
 Behavioral spec: /root/reference/src/train.py (args -> data -> model ->
 dual optimizers -> epoch loop: train, valid, plateau LR, periodic real-
 codec eval + RD plots, checkpointing).  Config is typed JSON, not pickled
-argparse; metrics go to JSONL + optional wandb if available.
+argparse; metrics go to structured JSONL + RD plots (the deliberate
+replacement for the reference's wandb logging, SURVEY.md §5).
 
 Usage:
   python -m progressivecodec_tpu.cli.train --train-dir DIR --test-dir DIR \

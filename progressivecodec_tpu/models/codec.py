@@ -23,6 +23,14 @@ from progressivecodec_tpu.entropy.gaussian import build_gaussian_tables
 
 MAGIC = b"PCT1"
 
+# Wire-format/build version. Entropy streams are BUILD-VERSION-BOUND: the
+# decoder re-derives CDF indexes and masks from sigma, and sigma bits can
+# differ between XLA executables compiled from different builds of the
+# codec fragments (codec_granular.py header). Bump this whenever a change
+# could alter those bits (fragment fusion boundaries, coder wire layout),
+# so a stale stream fails loudly at deserialize instead of desyncing.
+FORMAT_VERSION = 2
+
 
 class Codec:
     """Bundles model + params + coder tables; caches jitted paths.
@@ -85,14 +93,14 @@ class Codec:
 
     # -- serialization --------------------------------------------------
     def serialize(self, data: dict) -> bytes:
-        """Container: magic | quality f32 | batch u16 | z_h u16 | z_w u16 |
-        lanes u16 | groups u8 | mask_pol len+utf8 | per group:
-        (n_words u32 | n_esc_words u32 | words | escape words)."""
+        """Container: magic | version u8 | quality f32 | batch u16 |
+        z_h u16 | z_w u16 | lanes u16 | groups u8 | mask_pol len+utf8 |
+        per group: (n_words u32 | n_esc_words u32 | words | escape words)."""
         mp = (data["mask_pol"] or self.cfg.mask_policy).encode()
         groups = int(data.get("groups", 1))
         head = MAGIC + struct.pack(
-            "<fHHHHBB", data["quality"], data["batch"], *data["z_shape"],
-            int(data.get("lanes", self.lanes)), groups, len(mp),
+            "<BfHHHHBB", FORMAT_VERSION, data["quality"], data["batch"],
+            *data["z_shape"], int(data.get("lanes", self.lanes)), groups, len(mp),
         )
         if groups > 1:
             segments = list(zip(data["streams"], data["escs"]))
@@ -110,16 +118,19 @@ class Codec:
 
     def deserialize(self, blob: bytes) -> dict:
         assert blob[:4] == MAGIC, "bad container magic"
-        quality, batch, zh, zw, lanes, groups, mlen = struct.unpack(
-            "<fHHHHBB", blob[4:18]
+        ver, quality, batch, zh, zw, lanes, groups, mlen = struct.unpack(
+            "<BfHHHHBB", blob[4:19]
         )
-        if groups > 1 and lanes != self.lanes:
-            # grouped streams bind lane layout to the mesh topology
+        if ver != FORMAT_VERSION:
             raise ValueError(
-                f"container coded with {lanes} lanes; codec configured for {self.lanes}"
+                f"container format v{ver} != this build's v{FORMAT_VERSION}; "
+                "entropy streams are build-version-bound (sigma bits can "
+                "differ across XLA executables) — re-encode with this build"
             )
-        mp = blob[18 : 18 + mlen].decode()
-        off = 18 + mlen
+        if groups > 1 and lanes % groups != 0:
+            raise ValueError(f"corrupt container: lanes {lanes} % groups {groups} != 0")
+        mp = blob[19 : 19 + mlen].decode()
+        off = 19 + mlen
         streams, escs = [], []
         for _ in range(groups):
             n_words, n_esc = struct.unpack("<II", blob[off : off + 8])

@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from progressivecodec_tpu.coder import rans_device
 from progressivecodec_tpu.coder.rans_device import DeviceTables
@@ -58,7 +58,7 @@ def sharded_encode_stages(stages, t: DeviceTables, lanes: int, mesh: Mesh,
     return jax.jit(
         shard_map(
             local, mesh=mesh, in_specs=(spec, spec, spec, spec, spec),
-            out_specs=out_specs, check_rep=False,
+            out_specs=out_specs, check_vma=False,
         )
     )(*blocks)
 
@@ -95,7 +95,7 @@ def sharded_decode_stage(dec, streams, escs, indexes, keep, t: DeviceTables,
             local, mesh=mesh,
             in_specs=(g1, g2, g2, g1, g1, P(axis, None, None), P(axis, None, None)),
             out_specs=(g1, g2, g2, P(axis, None, None)),
-            check_rep=False,
+            check_vma=False,
         )
     )(states_b, dec.offsets, dec.esc_offsets, streams, escs, idx_b, kp_b)
     states, offsets, esc_offsets, vals_b = out

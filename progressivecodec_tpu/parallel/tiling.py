@@ -99,7 +99,7 @@ def tiled_apply_transform(fn, x, mesh: Mesh, *, halo: int = HALO, stride: int = 
         start_lat = valid_start // stride
         return jax.lax.dynamic_slice_in_dim(y, start_lat, tile_w // stride, axis=2)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     # jit the sharded program: one compiled computation per tile instead of
     # eager per-op dispatch (also keeps float behavior aligned with the
@@ -110,7 +110,7 @@ def tiled_apply_transform(fn, x, mesh: Mesh, *, halo: int = HALO, stride: int = 
             mesh=mesh,
             in_specs=P(None, None, axis, None),
             out_specs=P(None, None, axis, None),
-            check_rep=False,
+            check_vma=False,
         )
     )
     return sharded(x)
@@ -131,14 +131,14 @@ def global_quantile_mask(sigma_local, keep_frac: float, mesh: Mesh, axis: str = 
         q = jnp.quantile(flat, 1.0 - keep_frac, axis=1, method="linear")
         return (sig >= q[:, None, None, None]).astype(jnp.float32)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     return shard_map(
         local,
         mesh=mesh,
         in_specs=P(None, None, axis, None),
         out_specs=P(None, None, axis, None),
-        check_rep=False,
+        check_vma=False,
     )(sigma_local)
 
 
@@ -210,7 +210,7 @@ def tiled_synthesize(model, variables, y_hat, mesh: Mesh, *, decoder_index: int 
             x, valid_start * STRIDE, tile_w * STRIDE, axis=2
         )
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     return jax.jit(
         shard_map(
@@ -218,6 +218,6 @@ def tiled_synthesize(model, variables, y_hat, mesh: Mesh, *, decoder_index: int 
             mesh=mesh,
             in_specs=P(None, None, axis, None),
             out_specs=P(None, None, axis, None),
-            check_rep=False,
+            check_vma=False,
         )
     )(y_hat)

@@ -170,3 +170,63 @@ def test_granular_out_of_distribution_lossless(setup):
     np.testing.assert_array_equal(back["esc"], data["esc"])
     out2 = codec.decompress(back)
     assert bool(out2["stream_ok"])
+
+
+def test_grouped_auto_lane_policy_roundtrip(setup):
+    """VERDICT round-3 next #9: lane_policy='auto' now applies to grouped
+    (PCT1-G) streams — per-stream lane counts derived from container
+    metadata, rounded to a multiple of the group count, so grouped
+    low-rate streams stop paying full fixed-lane headers."""
+    model, variables = setup
+    auto_g = GranularCodec(
+        model, variables, lanes=256, groups=2, lane_policy="auto"
+    )
+    auto_1 = GranularCodec(model, variables, lanes=256, lane_policy="auto")
+    x = jax.random.uniform(jax.random.PRNGKey(7), (1, 64, 64, 3))
+    for q in [0, 10]:
+        data = auto_g.compress(x, quality=q, simulate=True)
+        # grouped auto picks the same lane count as ungrouped auto when the
+        # pow2 choice already divides by groups (it always does for pow2 G)
+        assert data["lanes"] == auto_1.compress(x, quality=q)["lanes"]
+        assert data["lanes"] < 256  # tiny stream -> header shrank
+        out = auto_g.decompress(data)
+        assert bool(out["stream_ok"]), f"q={q}"
+        np.testing.assert_allclose(
+            np.asarray(out["x_hat"]), np.asarray(data["x_hat"]), atol=1e-5
+        )
+        # serialized container round-trips through a grouped codec with a
+        # DIFFERENT fixed lane default
+        blob = auto_g.serialize(data)
+        other = GranularCodec(model, variables, lanes=128, groups=2)
+        rt = other.deserialize(blob)
+        assert rt["lanes"] == data["lanes"]
+        out2 = other.decompress(rt)
+        assert bool(out2["stream_ok"])
+        np.testing.assert_allclose(
+            np.asarray(out2["x_hat"]), np.asarray(out["x_hat"]), atol=0
+        )
+
+
+def test_granular_base_support_window_exceeded():
+    """ADVICE r3: exercise the include_prev=False branch of _base_loop
+    (n_base > max_support_slices) inside the codec suite itself — the
+    flagship has ns0=10 vs max_support 5, TINY only 4 base slices."""
+    cfg = ModelConfig(
+        name="channel", N=32, M=64, dim_chunk=8, division_dimension=(32, 64),
+        max_support_slices=2, scale_table=ScaleTableConfig(levels=32),
+    )
+    model = ChannelProgressiveWACNN(cfg=cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(lambda r, xx: model.init({"params": r}, xx, training=False))(
+        jax.random.PRNGKey(0), x
+    )
+    assert cfg.ns0 > cfg.max_support_slices
+    codec = GranularCodec(model, variables, lanes=64)
+    xr = jax.random.uniform(jax.random.PRNGKey(9), (1, 64, 64, 3))
+    for q in [0, 10]:
+        data = codec.compress(xr, quality=q, simulate=True)
+        out = codec.decompress(data)
+        assert bool(out["stream_ok"]), f"q={q}"
+        np.testing.assert_allclose(
+            np.asarray(out["x_hat"]), np.asarray(data["x_hat"]), atol=1e-5
+        )

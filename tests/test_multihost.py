@@ -37,7 +37,7 @@ local = [os.path.basename(f) for f in ds.files]
 # global psum over all processes' devices
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 import numpy as np
 
 mesh = Mesh(np.array(jax.devices()).reshape(4), ("d",))

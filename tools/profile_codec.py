@@ -31,6 +31,9 @@ class ProfiledCodec(GranularCodec):
     def __init__(self, *a, **k):
         super().__init__(*a, **k)
         self.timer = PhaseTimer()
+        # one jitted inner callable per phase, built on first access —
+        # rebuilding jax.jit per dispatch would retrace and skew the shares
+        self._timed_cache: dict = {}
 
     def _timed(self, name, fn, *args):
         t0 = time.perf_counter()
@@ -47,31 +50,42 @@ class ProfiledCodec(GranularCodec):
         return self._timed(f"frag:{name}", self._jits[key], self._fragment_vars(name), *args)
 
     def _J_encode_for(self, lanes):
-        inner = GranularCodec._J_encode_for(self, lanes)
+        key = ("encode", lanes)
+        if key not in self._timed_cache:
+            self._timed_cache[key] = GranularCodec._J_encode_for(self, lanes)
+        inner = self._timed_cache[key]
         return lambda stages: self._timed("coder:encode", inner, stages)
 
     def _J_decode_stage_for(self, lanes):
-        inner = GranularCodec._J_decode_stage_for(self, lanes)
+        key = ("decode_stage", lanes)
+        if key not in self._timed_cache:
+            self._timed_cache[key] = GranularCodec._J_decode_stage_for(self, lanes)
+        inner = self._timed_cache[key]
         return lambda *a: self._timed("coder:decode_stage", inner, *a)
+
+    def _cached_prop(self, name):
+        if name not in self._timed_cache:
+            self._timed_cache[name] = getattr(GranularCodec, name).func(self)
+        return self._timed_cache[name]
 
     @property
     def _J_quant_slice(self):
-        inner = GranularCodec._J_quant_slice.func(self)
+        inner = self._cached_prop("_J_quant_slice")
         return lambda *a: self._timed("glue:quant", inner, *a)
 
     @property
     def _J_quant_masked_stacked(self):
-        inner = GranularCodec._J_quant_masked_stacked.func(self)
+        inner = self._cached_prop("_J_quant_masked_stacked")
         return lambda *a: self._timed("glue:quant_masked", inner, *a)
 
     @property
     def _J_quant_prog_slice(self):
-        inner = GranularCodec._J_quant_prog_slice.func(self)
+        inner = self._cached_prop("_J_quant_prog_slice")
         return lambda *a: self._timed("glue:quant_prog", inner, *a)
 
     @property
     def _J_zquant(self):
-        inner = GranularCodec._J_zquant.func(self)
+        inner = self._cached_prop("_J_zquant")
         return lambda *a: self._timed("glue:zquant", inner, *a)
 
 
