@@ -23,7 +23,14 @@ import numpy as np
 
 from progressivecodec_tpu.coder.tables import CoderTables, RANS_L, DEFAULT_LANES
 
-_MASK16 = jnp.uint32(0xFFFF)
+# Python int, NOT jnp.uint32: an eagerly-created jnp scalar is a live
+# device buffer, and a jitted program that captures one as a closure
+# constant forces a host fetch at lowering — on the tunneled TPU backend
+# the first such fetch permanently degrades the whole process's dispatch
+# latency ~300x (measured round 4: 0.03 ms -> 12 ms per dispatch).
+# Weak typing promotes `x & 0xFFFF` to the array dtype, so an int is
+# bit-identical here.
+_MASK16 = 0xFFFF
 
 
 class DeviceTables(NamedTuple):

@@ -40,12 +40,21 @@ class Codec:
     never checkpointed.
     """
 
-    def __init__(self, model, variables, lanes: int = DEFAULT_LANES, precision: int = 16):
+    def __init__(self, model, variables, lanes: int = DEFAULT_LANES, precision: int = 16,
+                 host_params=None):
+        """host_params: optional host-side (numpy) copy of the entropy-
+        model params (at minimum {"params": {"entropy_bottleneck": ...}}).
+        When given, `update()` builds CDF tables without any device->host
+        transfer.  On the tunneled TPU backend a single d2h transfer
+        permanently degrades per-dispatch latency ~300x for the rest of
+        the process (measured round 4: 0.03 ms -> 11 ms per dispatch), so
+        latency-sensitive pipelines must stay d2h-free end to end."""
         self.model = model
         self.variables = variables
         self.cfg: ModelConfig = model.cfg
         self.lanes = lanes
         self.precision = precision
+        self.host_params = host_params
         self._tables = None
         self._device_tables = None
         self._gauss_row0 = None
@@ -54,7 +63,10 @@ class Codec:
     def update(self, force: bool = False):
         if self._tables is not None and not force:
             return self._tables
-        eb_params = self.variables["params"]["entropy_bottleneck"]
+        if self.host_params is not None:
+            eb_params = self.host_params["params"]["entropy_bottleneck"]
+        else:
+            eb_params = self.variables["params"]["entropy_bottleneck"]
         bt = build_bottleneck_tables(eb_params, self.precision)
         gt = build_gaussian_tables(self.cfg.scale_table.values(), precision=self.precision)
         merged, starts = merge_tables(bt, gt)

@@ -33,6 +33,20 @@ def _to_group_blocks(grid, groups: int):
     return grid.reshape(p, groups, kt).transpose(1, 0, 2)
 
 
+def _tables_arrays(t: DeviceTables):
+    """DeviceTables array leaves (lmax is a static int, threaded apart).
+
+    Tables ride through jit/shard_map as ARGUMENTS, never closure
+    constants — constant-embedded tables make TPU gathers ~500x slower
+    (codec_granular._J_encode_for)."""
+    return (t.enc_sf, t.dec_sf, t.dec_val, t.cdf_length, t.offset, t.max_symbol)
+
+
+def _rebuild_tables(arrs, lmax: int) -> DeviceTables:
+    enc_sf, dec_sf, dec_val, cdf_length, offset, max_symbol = arrs
+    return DeviceTables(enc_sf, dec_sf, dec_val, lmax, cdf_length, offset, max_symbol)
+
+
 def sharded_encode_stages(stages, t: DeviceTables, lanes: int, mesh: Mesh,
                           axis: str = "model"):
     """Encode with one lane group per mesh device.
@@ -44,12 +58,19 @@ def sharded_encode_stages(stages, t: DeviceTables, lanes: int, mesh: Mesh,
     groups = mesh.shape[axis]
     assert lanes % groups == 0, f"lanes {lanes} not divisible by {groups} devices"
     kt = lanes // groups
-    v, idx, kp, esc, sym = rans_device._stage_grids(stages, t, lanes)
+    lmax = t.lmax
+
+    def prep(ta, stages):
+        tt = _rebuild_tables(ta, lmax)
+        return rans_device._stage_grids(stages, tt, lanes)
+
+    v, idx, kp, esc, sym = jax.jit(prep)(_tables_arrays(t), stages)
     blocks = [_to_group_blocks(g, groups) for g in (v, idx, kp, esc, sym)]
 
-    def local(vb, ib, kb, eb, sb):
+    def local(ta, vb, ib, kb, eb, sb):
+        tt = _rebuild_tables(ta, lmax)
         stream, n_words, esc_seg, n_esc = rans_device.encode_grids(
-            vb[0], ib[0], kb[0], eb[0], sb[0], t, kt
+            vb[0], ib[0], kb[0], eb[0], sb[0], tt, kt
         )
         return stream[None], n_words[None], esc_seg[None], n_esc[None]
 
@@ -57,10 +78,10 @@ def sharded_encode_stages(stages, t: DeviceTables, lanes: int, mesh: Mesh,
     out_specs = (P(axis, None), P(axis), P(axis, None), P(axis))
     return jax.jit(
         shard_map(
-            local, mesh=mesh, in_specs=(spec, spec, spec, spec, spec),
+            local, mesh=mesh, in_specs=(P(), spec, spec, spec, spec, spec),
             out_specs=out_specs, check_vma=False,
         )
-    )(*blocks)
+    )(_tables_arrays(t), *blocks)
 
 
 def sharded_decode_stage(dec, streams, escs, indexes, keep, t: DeviceTables,
@@ -73,16 +94,18 @@ def sharded_decode_stage(dec, streams, escs, indexes, keep, t: DeviceTables,
     groups = mesh.shape[axis]
     kt = lanes // groups
     n = indexes.shape[0]
+    lmax = t.lmax
     idx = rans_device._pad_to_grid(indexes.astype(jnp.int32), lanes)
     kp = rans_device._pad_to_grid(keep.astype(bool), lanes)
     idx_b = _to_group_blocks(idx, groups)
     kp_b = _to_group_blocks(kp, groups)
     states_b = dec.states.reshape(groups, kt)
 
-    def local(st, off, eoff, stream, esc, ib, kb):
+    def local(ta, st, off, eoff, stream, esc, ib, kb):
+        tt = _rebuild_tables(ta, lmax)
         d = rans_device.DecoderState(st[0], off[0], eoff[0])
         d, vals = rans_device.decode_stage(
-            d, stream[0], esc[0], ib[0].reshape(-1), kb[0].reshape(-1), t, kt
+            d, stream[0], esc[0], ib[0].reshape(-1), kb[0].reshape(-1), tt, kt
         )
         return (
             d.states[None], d.offset[None], d.esc_offset[None],
@@ -93,11 +116,13 @@ def sharded_decode_stage(dec, streams, escs, indexes, keep, t: DeviceTables,
     out = jax.jit(
         shard_map(
             local, mesh=mesh,
-            in_specs=(g1, g2, g2, g1, g1, P(axis, None, None), P(axis, None, None)),
+            in_specs=(P(), g1, g2, g2, g1, g1, P(axis, None, None),
+                      P(axis, None, None)),
             out_specs=(g1, g2, g2, P(axis, None, None)),
             check_vma=False,
         )
-    )(states_b, dec.offsets, dec.esc_offsets, streams, escs, idx_b, kp_b)
+    )(_tables_arrays(t), states_b, dec.offsets, dec.esc_offsets, streams, escs,
+      idx_b, kp_b)
     states, offsets, esc_offsets, vals_b = out
     vals = vals_b.transpose(1, 0, 2).reshape(-1)[:n]
     return (
