@@ -28,6 +28,10 @@ from progressivecodec_tpu.utils.rd import (
     QUALITY_GRID,
     PROGRESSIVE_ANCHOR_BPP,
     PROGRESSIVE_ANCHOR_PSNR,
+    TRI_PLANET_22_BPP,
+    TRI_PLANET_22_PSNR,
+    TRI_PLANET_23_BPP,
+    TRI_PLANET_23_PSNR,
     bd_rate,
     plot_rd,
     rd_curve_dict,

