@@ -165,8 +165,14 @@ def main(argv=None):
                 break
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, jnp.asarray(batch), sub)
-            losses.append(float(metrics["loss_total"]))
-        train_loss = float(np.mean(losses)) if losses else float("nan")
+            # keep the loss on device: a per-step float() would d2h every
+            # step, and on the tunneled backend a d2h costs ~12 ms AND
+            # degrades subsequent dispatch latency (models/codec.py)
+            losses.append(metrics["loss_total"])
+        train_loss = (
+            float(np.mean([float(l) for l in jax.device_get(losses)]))
+            if losses else float("nan")
+        )
         _log(args.out, {"epoch": epoch, "train_loss": train_loss, "time_s": time.time() - t0})
 
         # validation at pr_list=[0,10] (reference train.py:327-330) — the

@@ -49,9 +49,13 @@ BANK_STEPS = int(os.environ.get("REM_DEMO_BANK_STEPS", 200))
 # where the banks act (find_check_quality maps them into each interval)
 MID_QS = (0.1, 1.0, 5.0)
 
+# stack_prog=False: the REM variant indexes slices individually
+# (rem.py:_use_stacked_prog), so the base must be trained with the same
+# unrolled per-slice module layout for the transplant to line up
 TINY = dict(
     N=32, M=64, dim_chunk=8, division_dimension=(32, 64),
     scale_table=ScaleTableConfig(levels=32), check_levels=(0.01, 0.25, 1.75),
+    stack_prog=False,
 )
 
 
