@@ -40,7 +40,8 @@ class GranularCodec(Codec):
 
     def __init__(self, model, variables, lanes: int = DEFAULT_LANES, precision: int = 16,
                  groups: int = 1, coder_mesh=None, coder_axis: str = "model",
-                 lane_policy: str = "fixed", host_params=None):
+                 lane_policy: str = "fixed", host_params=None,
+                 scan_impl: str = "xla"):
         """groups > 1 selects the PCT1-G grouped wire format (G independent
         lane-group sub-streams, coder/rans_device.py).  With coder_mesh set,
         the G scans run one-per-device via shard_map
@@ -78,6 +79,13 @@ class GranularCodec(Codec):
         self.coder_axis = coder_axis
         assert lane_policy in ("fixed", "auto")
         self.lane_policy = lane_policy
+        # encode-scan implementation: "xla" (lax.scan — portable default)
+        # or "pallas" (coder/rans_pallas.py — lane states resident in VMEM
+        # across the whole stream; bit-identical, 2.5x faster on TPU in
+        # the degraded-dispatch regime, parity in the clean regime).
+        # Wire-format-neutral: both produce identical streams.
+        assert scan_impl in ("xla", "pallas")
+        self.scan_impl = scan_impl
 
     # ---------- lane policy ----------
 
@@ -251,7 +259,14 @@ class GranularCodec(Codec):
             prep = jax.jit(
                 lambda t, stages: rans_device.encode_prepare(stages, t, lanes)
             )
-            scan = jax.jit(lambda sf, kp: rans_device.encode_scan_rev(sf, kp, lanes))
+            if self.scan_impl == "pallas":
+                from progressivecodec_tpu.coder.rans_pallas import encode_scan_rev_pallas
+
+                scan = lambda sf, kp: encode_scan_rev_pallas(sf, kp, lanes)
+            else:
+                scan = jax.jit(
+                    lambda sf, kp: rans_device.encode_scan_rev(sf, kp, lanes)
+                )
             fin = jax.jit(
                 lambda st, w, f, ef, sym: rans_device.encode_finalize(
                     st, w, f, ef, sym, lanes

@@ -230,3 +230,20 @@ def test_granular_base_support_window_exceeded():
         np.testing.assert_allclose(
             np.asarray(out["x_hat"]), np.asarray(data["x_hat"]), atol=1e-5
         )
+
+
+def test_scan_impl_pallas_byte_identical(setup):
+    """scan_impl='pallas' (coder/rans_pallas.py) must produce byte-
+    identical streams to the XLA scan default (interpret mode on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    model, variables = setup
+    x = jax.random.uniform(jax.random.PRNGKey(11), (1, 64, 64, 3))
+    d_xla = GranularCodec(model, variables, lanes=64).compress(x, quality=10)
+    pal = GranularCodec(model, variables, lanes=64, scan_impl="pallas")
+    with pltpu.force_tpu_interpret_mode():
+        d_pal = pal.compress(x, quality=10)
+    np.testing.assert_array_equal(d_xla["stream"], d_pal["stream"])
+    np.testing.assert_array_equal(d_xla["esc"], d_pal["esc"])
+    out = GranularCodec(model, variables, lanes=64).decompress(d_pal)
+    assert bool(out["stream_ok"])

@@ -95,13 +95,17 @@ def main():
           f"{np.mean(base_losses[-20:]):.1f}", flush=True)
 
     base_codec = GranularCodec(base_model, {"params": state.params}, lanes=64)
+    # same lmbda weighting as the REM evals so the losses are comparable
+    EVAL_LMBDAS = (0.0055, 0.02, 0.075)
     base_eval = entropy_estimate_eval(
-        base_codec, valid, pr_list=MID_QS, lmbda_list=base_cfg.lmbda_list
+        base_codec, valid, pr_list=MID_QS, lmbda_list=EVAL_LMBDAS
     )
     print("base RD:", json.dumps(base_eval), flush=True)
 
     # --- 2. transplant into the REM model; freeze all but the banks
-    rem_cfg = ModelConfig(name="rate", **TINY)
+    # one lambda per training quality level (the scalable RD loss pairs
+    # lmbda_list with the quality ladder elementwise, loss.py:114-134)
+    rem_cfg = ModelConfig(name="rate", lmbda_list=(0.0055, 0.02, 0.075), **TINY)
     rem_model = PostRateProcessedNetwork(cfg=rem_cfg)
     rem_vars = rem_model.init(
         {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 64, 64, 3)),
@@ -121,7 +125,7 @@ def main():
     rem_state = TrainState(rem_params, opt_state, jnp.int32(0))
     rem_before = entropy_estimate_eval(
         GranularCodec(rem_model, {"params": rem_params}, lanes=64),
-        valid, pr_list=MID_QS, lmbda_list=rem_cfg.lmbda_list,
+        valid, pr_list=MID_QS, lmbda_list=EVAL_LMBDAS,
     )
     print("REM before bank training:", json.dumps(rem_before), flush=True)
 
@@ -134,7 +138,7 @@ def main():
 
     rem_after = entropy_estimate_eval(
         GranularCodec(rem_model, {"params": rem_state.params}, lanes=64),
-        valid, pr_list=MID_QS, lmbda_list=rem_cfg.lmbda_list,
+        valid, pr_list=MID_QS, lmbda_list=EVAL_LMBDAS,
     )
     print("REM after bank training:", json.dumps(rem_after), flush=True)
 
