@@ -37,6 +37,11 @@ def main(argv=None):
     p.add_argument("--out-jsonl", type=str, default="runs/rd_r4_points.jsonl")
     p.add_argument("--out", type=str, default="runs/rd_r4.json")
     p.add_argument("--lanes", type=int, default=512)
+    p.add_argument(
+        "--lane-policy", choices=["fixed", "auto"], default="auto",
+        help="auto: per-stream lane counts from container metadata — "
+        "low-rate points stop paying the full 2*K*2-byte lane-state header",
+    )
     args = p.parse_args(argv)
 
     from progressivecodec_tpu.utils.cache import enable_compilation_cache
@@ -65,7 +70,9 @@ def main(argv=None):
     )
     state, _ = load_checkpoint(args.checkpoint, state)
     variables = {"params": state.params}
-    codec = GranularCodec(model, variables, lanes=args.lanes)
+    codec = GranularCodec(
+        model, variables, lanes=args.lanes, lane_policy=args.lane_policy
+    )
     codec.update()
 
     ds = SyntheticKodak()
