@@ -68,6 +68,13 @@ class LatentRateReduction(nn.Module):
         out_w = 2 * n if self.mu_std else n
         enc_w = [2 * n, 2 * n, 2 * n, out_w] if deep else [2 * n, 2 * n, out_w]
         ret = stack(cat, enc_w, "enc")
+        # zero-init output projection: the refiner starts as an exact
+        # identity (REM == base model at init), so bank training can only
+        # improve RD from the base — a deliberate difference from the
+        # reference's default-initialized residual (CHProgREM.py:205-234
+        # trains away its own init noise first)
+        ret = nn.Dense(out_w, kernel_init=nn.initializers.zeros,
+                       name="zero_out")(ret)  # 1x1 conv == channel dense
         return params_enh + ret * att_mask
 
 

@@ -84,13 +84,36 @@ def test_rem_escalation(rem_model):
     rep = extract_checkpoint_representation(model, variables, x)
     assert rep.shape == (1, 4, 4, 32)
     assert np.isfinite(np.asarray(rep)).all()
-    # checkpoint_rep changes the refined output at a mid quality
+    # the refiner is an EXACT identity at init (zero-init output
+    # projection, rem.py LatentRateReduction), so checkpoint_rep has no
+    # effect until the banks have learned something: perturb the zero_out
+    # kernels to emulate trained banks, then the cascade must change x_hat
+    def bump_zero_out(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = bump_zero_out(v)
+            elif k == "kernel":
+                out[k] = v + 0.05
+            else:
+                out[k] = v
+        return out
+
+    params = dict(variables["params"])
+    for name in list(params):
+        if name.startswith("post_latent"):
+            params[name] = jax.tree.map(lambda a: a, params[name])
+            params[name] = {
+                kk: (bump_zero_out(vv) if kk == "zero_out" else vv)
+                for kk, vv in params[name].items()
+            }
+    bumped = {"params": params}
     out_plain = model.apply(
-        variables, x, 1.0, training=False,
+        bumped, x, 1.0, training=False,
         method=PostRateProcessedNetwork.forward_single_quality,
     )
     out_casc = model.apply(
-        variables, x, 1.0, training=False, checkpoint_rep=rep,
+        bumped, x, 1.0, training=False, checkpoint_rep=rep,
         method=PostRateProcessedNetwork.forward_single_quality,
     )
     assert np.abs(np.asarray(out_plain["x_hat"] - out_casc["x_hat"])).max() > 0
@@ -115,4 +138,39 @@ def test_rem_escalation_codec_roundtrip(rem_model):
     )
     np.testing.assert_array_equal(
         np.asarray(out["x_hat"]), np.asarray(data["final"]["x_hat"])
+    )
+
+
+def test_rem_identity_at_init(rem_model):
+    """Zero-init output projection: at init the REM model's refined
+    forward is EXACTLY the base computation (the refinement delta is
+    identically zero), so bank training starts from the base RD point
+    instead of first unlearning init noise."""
+    model, variables = rem_model
+    x = jax.random.uniform(jax.random.PRNGKey(9), (1, 64, 64, 3))
+    out_mid = model.apply(
+        variables, x, 1.0, training=False,
+        method=PostRateProcessedNetwork.forward_single_quality,
+    )
+    # the same forward with the banks' refinement forced off via q below
+    # the first checkpoint uses the unrefined path; compare against a mid
+    # quality where banks ARE invoked: likelihoods must be finite and the
+    # refined (mu, sigma) equal the unrefined ones -> identical bpp at eval
+    from progressivecodec_tpu.models.progressive import ChannelProgressiveWACNN
+
+    base_cfg = ModelConfig(
+        name="channel", N=32, M=64, dim_chunk=8, division_dimension=(32, 64),
+        scale_table=ScaleTableConfig(levels=32), stack_prog=False,
+    )
+    base = ChannelProgressiveWACNN(cfg=base_cfg)
+    base_params = {
+        k: v for k, v in variables["params"].items()
+        if not k.startswith("post_latent")
+    }
+    out_base = base.apply(
+        {"params": base_params}, x, 1.0, training=False,
+        method=ChannelProgressiveWACNN.forward_single_quality,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_mid["x_hat"]), np.asarray(out_base["x_hat"])
     )
