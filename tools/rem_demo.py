@@ -105,7 +105,11 @@ def main():
     # --- 2. transplant into the REM model; freeze all but the banks
     # one lambda per training quality level (the scalable RD loss pairs
     # lmbda_list with the quality ladder elementwise, loss.py:114-134)
-    rem_cfg = ModelConfig(name="rate", lmbda_list=(0.0055, 0.02, 0.075), **TINY)
+    # forward prepends the base (q=0) level when absent
+    # (progressive.py:355-356), so the ladder is 4 levels -> 4 lambdas
+    rem_cfg = ModelConfig(
+        name="rate", lmbda_list=(0.0055, 0.0075, 0.02, 0.075), **TINY
+    )
     rem_model = PostRateProcessedNetwork(cfg=rem_cfg)
     rem_vars = rem_model.init(
         {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 64, 64, 3)),
