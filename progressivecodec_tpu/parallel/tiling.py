@@ -75,13 +75,26 @@ def _exchange_halo_w(x, halo: int, axis: str):
     return padded, valid_start
 
 
-def tiled_apply_transform(fn, x, mesh: Mesh, *, halo: int = HALO, stride: int = STRIDE,
-                          axis: str = "model"):
+# jitted sharded programs cached per (caller key, topology, geometry):
+# building jax.jit(shard_map(...)) per CALL retraced and recompiled every
+# invocation (measured 15.6 s/image on the 2K bench), and a `variables`
+# CLOSURE would embed the params as jit constants — the host-fetch trap
+# documented in models/codec.py.  Variables are therefore explicit
+# shard_map operands (replicated) and the program is built once.
+_SHARDED_CACHE: dict = {}
+
+
+def tiled_apply_transform(fn, variables, x, mesh: Mesh, *, halo: int = HALO,
+                          stride: int = STRIDE, axis: str = "model",
+                          cache_key=None):
     """Apply an image->latent transform `fn` over width-tiles exactly.
 
-    fn: (B, H, W, C) -> (B, H/stride, W/stride, C') local transform.
+    fn: (variables, (B, H, W, C)) -> (B, H/stride, W/stride, C') local
+    transform taking the param pytree EXPLICITLY (see _SHARDED_CACHE).
     x must be sharded (or shardable) over its W dim on mesh axis `axis`.
     Each device computes fn on its halo-padded tile and discards the halo.
+    cache_key: stable identity for the jitted program (defaults to fn —
+    pass one whenever fn is a fresh closure per call).
     """
     n = mesh.shape[axis]
     w = x.shape[2]
@@ -93,27 +106,32 @@ def tiled_apply_transform(fn, x, mesh: Mesh, *, halo: int = HALO, stride: int = 
         f"halo {halo} must be <= tile width {tile_w} and a multiple of 64"
     )
 
-    def local(x_local):
-        padded, valid_start = _exchange_halo_w(x_local, halo, axis)
-        y = fn(padded)
-        start_lat = valid_start // stride
-        return jax.lax.dynamic_slice_in_dim(y, start_lat, tile_w // stride, axis=2)
-
-    from jax import shard_map
-
-    # jit the sharded program: one compiled computation per tile instead of
-    # eager per-op dispatch (also keeps float behavior aligned with the
-    # codec's jitted executables)
-    sharded = jax.jit(
-        shard_map(
-            local,
-            mesh=mesh,
-            in_specs=P(None, None, axis, None),
-            out_specs=P(None, None, axis, None),
-            check_vma=False,
-        )
+    key = (
+        "apply", cache_key if cache_key is not None else fn, axis, halo,
+        stride, tuple(mesh.devices.flat), x.shape, str(x.dtype),
     )
-    return sharded(x)
+    if key not in _SHARDED_CACHE:
+
+        def local(v, x_local):
+            padded, valid_start = _exchange_halo_w(x_local, halo, axis)
+            y = fn(v, padded)
+            start_lat = valid_start // stride
+            return jax.lax.dynamic_slice_in_dim(
+                y, start_lat, tile_w // stride, axis=2
+            )
+
+        from jax import shard_map
+
+        _SHARDED_CACHE[key] = jax.jit(
+            shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(), P(None, None, axis, None)),
+                out_specs=P(None, None, axis, None),
+                check_vma=False,
+            )
+        )
+    return _SHARDED_CACHE[key](variables, x)
 
 
 def global_quantile_mask(sigma_local, keep_frac: float, mesh: Mesh, axis: str = "model"):
@@ -146,10 +164,13 @@ def tiled_analyze(model, variables, x, mesh: Mesh, *, axis: str = "model",
                   halo: int = HALO):
     """Exact tiled g_a: returns the full latent, identical to single-chip."""
 
-    def fn(tile):
-        return model.apply(variables, tile, method=type(model).analyze)
+    def fn(v, tile):
+        return model.apply(v, tile, method=type(model).analyze)
 
-    return tiled_apply_transform(fn, x, mesh, halo=halo, stride=STRIDE, axis=axis)
+    return tiled_apply_transform(
+        fn, variables, x, mesh, halo=halo, stride=STRIDE, axis=axis,
+        cache_key=(id(model), "analyze"),
+    )
 
 
 def tiled_compress(codec, x, mesh: Mesh, *, quality: float = 10.0,
@@ -192,32 +213,39 @@ def tiled_synthesize(model, variables, y_hat, mesh: Mesh, *, decoder_index: int 
     validated by the equality test.
     """
 
-    def fn_latent(tile):
-        def g(m):
-            return m._synth_net(decoder_index)(tile)
-
-        return model.apply(variables, method=g)
-
     n = mesh.shape[axis]
     w = y_hat.shape[2]
     tile_w = w // n
     assert halo_latent <= tile_w
 
-    def local(y_local):
-        padded, valid_start = _exchange_halo_w(y_local, halo_latent, axis)
-        x = fn_latent(padded)
-        return jax.lax.dynamic_slice_in_dim(
-            x, valid_start * STRIDE, tile_w * STRIDE, axis=2
-        )
+    key = (
+        "synth", id(model), decoder_index, axis, halo_latent,
+        tuple(mesh.devices.flat), y_hat.shape, str(y_hat.dtype),
+    )
+    if key not in _SHARDED_CACHE:
 
-    from jax import shard_map
+        def fn_latent(v, tile):
+            def g(m):
+                return m._synth_net(decoder_index)(tile)
 
-    return jax.jit(
-        shard_map(
-            local,
-            mesh=mesh,
-            in_specs=P(None, None, axis, None),
-            out_specs=P(None, None, axis, None),
-            check_vma=False,
+            return model.apply(v, method=g)
+
+        def local(v, y_local):
+            padded, valid_start = _exchange_halo_w(y_local, halo_latent, axis)
+            x = fn_latent(v, padded)
+            return jax.lax.dynamic_slice_in_dim(
+                x, valid_start * STRIDE, tile_w * STRIDE, axis=2
+            )
+
+        from jax import shard_map
+
+        _SHARDED_CACHE[key] = jax.jit(
+            shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(), P(None, None, axis, None)),
+                out_specs=P(None, None, axis, None),
+                check_vma=False,
+            )
         )
-    )(y_hat)
+    return _SHARDED_CACHE[key](variables, y_hat)
