@@ -139,9 +139,20 @@ def main(argv=None):
         tcfg,
         sample_shape=(1, tcfg.patch_size, tcfg.patch_size, 3),
     )
+    start_epoch = 0
+    resumed_extra: dict = {}
     if args.checkpoint:
         state, meta = load_checkpoint(args.checkpoint, state)
-        print(f"resumed from {args.checkpoint} at step {int(state.step)}")
+        resumed_extra = meta.get("extra", {}) or {}
+        # global epoch numbering across babysit restarts: a resumed run
+        # continues the SAME monotone epoch series in metrics.jsonl instead
+        # of restarting at 0 (each restart previously emitted its own
+        # overlapping "epoch 0..N" series, making train_loss unreadable)
+        start_epoch = int(resumed_extra.get("epoch", -1)) + 1
+        print(
+            f"resumed from {args.checkpoint} at step {int(state.step)}"
+            f" epoch {start_epoch}"
+        )
 
     if args.sampled:
         from progressivecodec_tpu.training.step import make_sampled_train_step
@@ -155,8 +166,23 @@ def main(argv=None):
     )
     plateau = plateau_init()
     best_loss = float("inf")
+    # restore scheduler + best-checkpoint state across restarts so a resumed
+    # run neither re-saves a worse "best" nor forgets accumulated plateau
+    # patience (reference train.py:162-171 persists the scheduler state dict)
+    if resumed_extra:
+        best_loss = float(resumed_extra.get("best_loss", best_loss))
+        p = resumed_extra.get("plateau")
+        if p:
+            plateau = plateau._replace(
+                best=float(p["best"]), bad_epochs=int(p["bad_epochs"]),
+                scale=float(p["scale"]),
+            )
+            if plateau.scale != 1.0:
+                state = state._replace(
+                    opt_state=set_lr_scale(state.opt_state, plateau.scale)
+                )
 
-    for epoch in range(tcfg.epochs):
+    for epoch in range(start_epoch, tcfg.epochs):
         t0 = time.time()
         losses = []
         rng = jax.random.PRNGKey(tcfg.seed * 1000 + epoch)
@@ -173,7 +199,8 @@ def main(argv=None):
             float(np.mean([float(l) for l in jax.device_get(losses)]))
             if losses else float("nan")
         )
-        _log(args.out, {"epoch": epoch, "train_loss": train_loss, "time_s": time.time() - t0})
+        _log(args.out, {"epoch": epoch, "step": int(state.step),
+                        "train_loss": train_loss, "time_s": time.time() - t0})
 
         # validation at pr_list=[0,10] (reference train.py:327-330) — the
         # loss that drives the plateau scheduler and best-checkpoint choice
@@ -231,15 +258,22 @@ def main(argv=None):
                 ]
                 plot_rd(curves, os.path.join(args.out, f"rd_epoch{epoch}.png"))
 
-        save_checkpoint(
-            os.path.join(args.out, "ckpt_last"), state, mcfg, tcfg, extra={"epoch": epoch}
-        )
         # best = lowest VALIDATION loss (reference train.py:345: is_best on
         # the valid criterion, not train loss)
         if plateau_metric < best_loss:
             best_loss = plateau_metric
+        extra = {
+            "epoch": epoch,
+            "best_loss": best_loss,
+            "plateau": {"best": plateau.best, "bad_epochs": plateau.bad_epochs,
+                        "scale": plateau.scale},
+        }
+        save_checkpoint(
+            os.path.join(args.out, "ckpt_last"), state, mcfg, tcfg, extra=extra
+        )
+        if plateau_metric <= best_loss:
             save_checkpoint(
-                os.path.join(args.out, "ckpt_best"), state, mcfg, tcfg, extra={"epoch": epoch}
+                os.path.join(args.out, "ckpt_best"), state, mcfg, tcfg, extra=extra
             )
 
 

@@ -187,6 +187,20 @@ def _latent_rate_reduction(sd, p, deep: bool):
         out[f"base_rep{j}"] = _residual_block(sd, f"{p}enc_base_rep.{j}.")
     for j in range(n_enc):
         out[f"enc{j}"] = _residual_block(sd, f"{p}enc.{j}.")
+    # zero-init output projection (models/rem.py:71-78) — our TPU addition;
+    # reference checkpoints (CHProgREM.py) lack it, so absent keys restore
+    # the exact-identity init (zeros) with the correct shapes
+    n_out = int(out["enc" + str(n_enc - 1)]["conv1"]["bias"].shape[0])
+    if f"{p}zero_out.weight" in sd:
+        out["zero_out"] = {
+            "kernel": _lin(sd[f"{p}zero_out.weight"]),
+            "bias": _arr(sd[f"{p}zero_out.bias"]),
+        }
+    else:
+        out["zero_out"] = {
+            "kernel": np.zeros((n_out, n_out), np.float32),
+            "bias": np.zeros((n_out,), np.float32),
+        }
     return out
 
 
@@ -661,6 +675,10 @@ def export_rem(params: dict, cfg, deep: bool = True) -> dict:
                 put_rb(f"{p}enc_base_rep.{j}.", node[f"base_rep{j}"])
             for j in range(n_enc):
                 put_rb(f"{p}enc.{j}.", node[f"enc{j}"])
+            # zero_out Dense == 1x1 channel projection; exported in torch
+            # Linear layout (out,in) so import_rem's _lin inverts it
+            sd[f"{p}zero_out.weight"] = _lin(node["zero_out"]["kernel"])
+            sd[f"{p}zero_out.bias"] = _arr(node["zero_out"]["bias"])
     return sd
 
 

@@ -27,7 +27,14 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _filter2(x: jax.Array, win: jax.Array) -> jax.Array:
-    """Depthwise valid-mode 2D filter; x NHWC."""
+    """Depthwise valid-mode 2D filter; x NHWC.
+
+    precision=HIGHEST is load-bearing: at TPU default precision this conv
+    runs in bf16, and SSIM's variance terms E[x^2]-mu^2 are catastrophic
+    cancellations — bf16's 8 mantissa bits turned the round-4 ladder's
+    ms_ssim_db column into noise (7.5 <-> 52.8 dB swings on identical
+    images) while PSNR, a plain mean, was immune.
+    """
     c = x.shape[-1]
     k = win.shape[0]
     w = jnp.tile(win[:, :, None, None], (1, 1, 1, c))
@@ -37,6 +44,7 @@ def _filter2(x: jax.Array, win: jax.Array) -> jax.Array:
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
