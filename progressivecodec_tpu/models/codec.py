@@ -21,7 +21,12 @@ from progressivecodec_tpu.config import ModelConfig
 from progressivecodec_tpu.entropy.bottleneck import build_bottleneck_tables
 from progressivecodec_tpu.entropy.gaussian import build_gaussian_tables
 
-MAGIC = b"PCT1"
+# Container magic. The version-2 layout CHANGED the header offsets, so the
+# magic was bumped with it (ADVICE r4): pre-version blobs now fail the magic
+# check with a clear message instead of misparsing the quality float's low
+# byte as a version number. Bump MAGIC again on any future INCOMPATIBLE
+# header-layout change; use FORMAT_VERSION for same-layout stream rebinds.
+MAGIC = b"PCT2"
 
 # Wire-format/build version. Entropy streams are BUILD-VERSION-BOUND: the
 # decoder re-derives CDF indexes and masks from sigma, and sigma bits can
@@ -54,6 +59,21 @@ class Codec:
         self.cfg: ModelConfig = model.cfg
         self.lanes = lanes
         self.precision = precision
+        if host_params is not None:
+            # a stale host copy would build CDF tables that disagree with
+            # the device-side sigma — corrupt streams with no encode-time
+            # error (ADVICE r4).  Structure/shape equality is checked here;
+            # VALUES must match too (cannot be verified without the d2h
+            # this parameter exists to avoid — callers own that contract).
+            host_eb = host_params["params"]["entropy_bottleneck"]
+            dev_eb = variables["params"]["entropy_bottleneck"]
+            host_shapes = jax.tree.map(lambda a: tuple(np.shape(a)), host_eb)
+            dev_shapes = jax.tree.map(lambda a: tuple(np.shape(a)), dev_eb)
+            if host_shapes != dev_shapes:
+                raise ValueError(
+                    "host_params entropy_bottleneck tree does not match the "
+                    f"device variables: {host_shapes} != {dev_shapes}"
+                )
         self.host_params = host_params
         self._tables = None
         self._device_tables = None

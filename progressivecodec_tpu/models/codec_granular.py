@@ -633,6 +633,15 @@ class GranularCodec(Codec):
         mask_pol = data["mask_pol"] or cfg.mask_policy
         batch = data["batch"]
         hz, wz = data["z_shape"]
+        data_groups = int(data.get("groups", 1))
+        if data_groups != self.groups:
+            # a PCT container coded with a different group count would
+            # otherwise decode garbage (only caught if the caller checks
+            # stream_ok) or raise an opaque IndexError (ADVICE r4)
+            raise ValueError(
+                f"container has groups={data_groups} but this codec was "
+                f"built with groups={self.groups}"
+            )
         if self.groups > 1:
             g = self.groups
             stream_lanes = int(data.get("lanes", self.lanes))

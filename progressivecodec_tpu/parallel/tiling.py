@@ -84,6 +84,18 @@ def _exchange_halo_w(x, halo: int, axis: str):
 _SHARDED_CACHE: dict = {}
 
 
+def _model_key(model) -> tuple:
+    """Stable cache identity for a model: class + full config repr.
+
+    id(model) was unsafe (ADVICE r4): ids are reused after GC, so a new,
+    differently-configured model could silently reuse a program traced
+    from a dead model's closure.  The traced programs take `variables` as
+    an explicit operand, so class+cfg fully determines the computation —
+    equal keys are guaranteed functionally identical, and key lifetime no
+    longer depends on object lifetime."""
+    return (type(model).__qualname__, repr(model.cfg))
+
+
 def tiled_apply_transform(fn, variables, x, mesh: Mesh, *, halo: int = HALO,
                           stride: int = STRIDE, axis: str = "model",
                           cache_key=None):
@@ -169,7 +181,7 @@ def tiled_analyze(model, variables, x, mesh: Mesh, *, axis: str = "model",
 
     return tiled_apply_transform(
         fn, variables, x, mesh, halo=halo, stride=STRIDE, axis=axis,
-        cache_key=(id(model), "analyze"),
+        cache_key=(_model_key(model), "analyze"),
     )
 
 
@@ -219,7 +231,7 @@ def tiled_synthesize(model, variables, y_hat, mesh: Mesh, *, decoder_index: int 
     assert halo_latent <= tile_w
 
     key = (
-        "synth", id(model), decoder_index, axis, halo_latent,
+        "synth", _model_key(model), decoder_index, axis, halo_latent,
         tuple(mesh.devices.flat), y_hat.shape, str(y_hat.dtype),
     )
     if key not in _SHARDED_CACHE:

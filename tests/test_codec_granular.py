@@ -247,3 +247,46 @@ def test_scan_impl_pallas_byte_identical(setup):
     np.testing.assert_array_equal(d_xla["esc"], d_pal["esc"])
     out = GranularCodec(model, variables, lanes=64).decompress(d_pal)
     assert bool(out["stream_ok"])
+
+
+def test_groups_mismatch_rejected(setup):
+    """ADVICE r4: a container coded with a different group count must fail
+    loudly at decompress, not decode garbage or raise an opaque IndexError."""
+    model, variables = setup
+    enc = GranularCodec(model, variables, lanes=64, groups=4)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    data = enc.compress(x, quality=2)
+    dec1 = GranularCodec(model, variables, lanes=64, groups=1)
+    with pytest.raises(ValueError, match="groups"):
+        dec1.decompress(data)
+    # and the reverse direction: single-stream container, grouped codec
+    data1 = dec1.compress(x, quality=2)
+    with pytest.raises(ValueError, match="groups"):
+        enc.decompress(data1)
+
+
+def test_host_params_shape_mismatch_rejected(setup):
+    """ADVICE r4: a host_params tree whose entropy-bottleneck shapes differ
+    from the device variables would silently build wrong CDF tables."""
+    model, variables = setup
+    host = jax.device_get(variables)
+    bad = jax.tree.map(lambda a: a, host)
+    eb = dict(bad["params"]["entropy_bottleneck"])
+    k = next(iter(eb))
+    eb[k] = np.zeros(np.shape(eb[k]) + (2,), np.float32)
+    bad["params"] = dict(bad["params"], entropy_bottleneck=eb)
+    with pytest.raises(ValueError, match="entropy_bottleneck"):
+        GranularCodec(model, variables, lanes=64, host_params=bad)
+
+
+def test_legacy_magic_rejected(setup):
+    """ADVICE r4: the v2 header layout shipped under a NEW magic, so any
+    pre-version blob (old magic) fails the magic check with a clear error
+    instead of misparsing the quality float's low byte as a version."""
+    model, variables = setup
+    codec = GranularCodec(model, variables, lanes=64)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (1, 64, 64, 3))
+    blob = codec.serialize(codec.compress(x, quality=2))
+    legacy = b"PCT1" + blob[4:]
+    with pytest.raises(AssertionError, match="magic"):
+        codec.deserialize(legacy)

@@ -1,0 +1,54 @@
+#!/bin/bash
+# Round-5 close-out (VERDICT r4 next #1..#8).  Run AFTER the trainer is
+# stopped (kill its exact PID) and the chip lease is released.  Every step
+# writes evidence incrementally and logs to runs/close_r5.log; a timeout
+# on one step does not lose prior results.
+#
+# GATE: the close-out is not complete unless the CPU test suite is green —
+# run (niced) while the chip steps proceed, recorded at the end of the log.
+set -x
+mkdir -p runs
+LOG=runs/close_r5.log
+date -u >> "$LOG"
+
+echo "== suite (CPU, background, niced) ==" >> "$LOG"
+JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  nice -n 19 python -m pytest tests/ -q > runs/suite_r5.log 2>&1 &
+SUITE_PID=$!
+
+echo "== bench (scalar-fenced, subprocess per config) ==" >> "$LOG"
+timeout 3600 python bench.py > runs/bench_r5_local.json 2>> "$LOG"
+cat runs/bench_r5_local.json >> "$LOG"
+
+echo "== pallas encode-scan decision probe ==" >> "$LOG"
+timeout 1800 python tools/probe_honest.py --quality 10 --batch 8 \
+  --scan-impl pallas --json-out runs/probe_honest_q10_b8_pallas.json >> "$LOG" 2>&1
+
+echo "== rd ladder (full grid, trained r5) ==" >> "$LOG"
+timeout 4800 python tools/rd_ladder.py \
+  --checkpoint runs/flagship_r5/ckpt_best --grid full --n-images 8 \
+  --out-jsonl runs/rd_r5_points.jsonl --out runs/rd_r5.json >> "$LOG" 2>&1
+
+echo "== bd trajectory ==" >> "$LOG"
+python tools/bd_trajectory.py --run runs/flagship_r5 >> "$LOG" 2>&1
+
+echo "== 2k tiled bench (scalar-fenced) ==" >> "$LOG"
+timeout 2400 python tools/bench_2k.py >> "$LOG" 2>&1
+
+echo "== REM at flagship scale ==" >> "$LOG"
+timeout 4800 python tools/rem_flagship.py \
+  --checkpoint runs/flagship_r5/ckpt_best >> "$LOG" 2>&1
+
+echo "== suite gate ==" >> "$LOG"
+wait "$SUITE_PID"
+SUITE_RC=$?
+tail -3 runs/suite_r5.log >> "$LOG"
+if [ "$SUITE_RC" -ne 0 ]; then
+  echo "SUITE RED (rc=$SUITE_RC) — close-out gate FAILED" >> "$LOG"
+else
+  echo "suite green" >> "$LOG"
+fi
+
+date -u >> "$LOG"
+echo DONE >> "$LOG"
+exit "$SUITE_RC"
