@@ -1,18 +1,20 @@
-"""Per-phase device timing of the codec chain — scalar-fenced.
+"""Per-phase device timing of the codec chain — degraded-sync fenced.
 
-CRITICAL backend properties (measured round 4, PARITY.md):
+CRITICAL backend properties (measured rounds 4-5, PARITY.md):
   * a single device->host transfer permanently switches the process into
-    a degraded dispatch mode (~0.03 ms -> ~11 ms per dispatch), and
+    a SYNCHRONOUS dispatch mode (~0.03 ms -> ~11 ms per dispatch, each op
+    completing on device before the dispatch returns),
   * block_until_ready can return at ENQUEUE time, not completion — the
     round-4 version of this tool used it and produced invalid numbers
-    (VERDICT r4 item 46).
+    (VERDICT r4 item 46), and
+  * clean-mode enqueue queues wedge the tunnel (round-5 dispatch studies)
+    — so clean-mode pipelined timing is unusable here too.
 
-Round-5 protocol: each phase runs in its OWN subprocess.  A phase is
-warmed/compiled, the queue drained with a sleep, then n iterations are
-enqueued and ONE 4-byte scalar (mean of a leaf of the last output) is
-read — in-order execution makes that a completion fence for the whole
-batch.  The fence degrades the process, which is why one phase = one
-process.  The orchestrator (no --phase arg) merges results into
+Round-5 protocol (timed_fenced): each phase runs in its OWN subprocess,
+is warmed, then DELIBERATELY degraded (one d2h) and timed synchronously
+with a per-iteration 4-byte materialization — completion-true; absolute
+numbers include a constant per-dispatch tax, A/B comparisons cancel it.
+The orchestrator (no --phase arg) merges results into
 runs/probe_phases.json.
 
 Usage:
@@ -243,7 +245,7 @@ def main():
     phases = args.phases.split(",") if args.phases else list(PHASES)
     merged = {"batch": args.batch, "lanes": args.lanes, "n": args.n,
               "quality": args.quality,
-              "protocol": "scalar-fenced, one subprocess per phase"}
+              "protocol": "degraded-sync fenced (per-iteration 4-byte materialization), one subprocess per phase"}
     for phase in phases:
         out_path = f"/tmp/pct_phase_{phase}.json"
         proc = subprocess.run(
