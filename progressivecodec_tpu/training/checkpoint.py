@@ -11,6 +11,7 @@ machinery (models/utils.py:146-183) entirely.
 from __future__ import annotations
 
 import json
+import shutil
 import os
 import jax
 import numpy as np
@@ -20,27 +21,50 @@ from progressivecodec_tpu import config as config_lib
 
 
 def save_checkpoint(path: str, state, model_cfg, train_cfg, extra: dict | None = None):
+    """ATOMIC w.r.t. process kill: orbax `force=True` deletes the existing
+    path BEFORE writing, so a kill mid-save would leave no checkpoint at
+    all (this destroyed a run's resume state in round 5 — the babysitter
+    then restarted from scratch).  Write to a sibling tmp dir, fsync-free
+    rename-swap, and only then drop the old copy."""
     path = os.path.abspath(path)
+    tmp = path + ".saving"
+    old = path + ".old"
+    for stale in (tmp, old):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
     ckptr = ocp.StandardCheckpointer()
     payload = {
         "params": state.params,
         "opt_state": state.opt_state,
         "step": state.step,
     }
-    ckptr.save(path, payload, force=True)
+    ckptr.save(tmp, payload, force=True)
     ckptr.wait_until_finished()
     meta = {
         "model": json.loads(config_lib.to_json(model_cfg)),
         "train": json.loads(config_lib.to_json(train_cfg)),
         "extra": extra or {},
     }
-    with open(os.path.join(path, "config.json"), "w") as f:
+    with open(os.path.join(tmp, "config.json"), "w") as f:
         json.dump(meta, f, indent=2)
+    # swap: a kill at any point leaves either the old or the new complete
+    # checkpoint at `path` or `path`.old — load_checkpoint prefers `path`
+    # and falls back to `path`.old
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
 
 
 def load_checkpoint(path: str, state_template):
-    """Restore into the shape of `state_template` (from init_train_state)."""
+    """Restore into the shape of `state_template` (from init_train_state).
+
+    Falls back to `path`.old if `path` is missing — the only state a kill
+    inside save_checkpoint's rename-swap can leave behind."""
     path = os.path.abspath(path)
+    if not os.path.isdir(path) and os.path.isdir(path + ".old"):
+        path = path + ".old"
     ckptr = ocp.StandardCheckpointer()
     payload = {
         "params": state_template.params,
