@@ -109,7 +109,19 @@ def test_two_process_cluster(tmp_path):
     for p in procs:
         stdout, stderr = p.communicate(timeout=540)
         assert p.returncode == 0, f"worker failed:\n{stderr[-3000:]}"
-        outs.append(json.loads(stdout.strip().splitlines()[-1]))
+        # runtime banners can interleave on stdout under load — take the
+        # last line that parses as the worker's JSON report
+        for line in reversed(stdout.strip().splitlines()):
+            try:
+                outs.append(json.loads(line))
+                break
+            except json.JSONDecodeError:
+                continue
+        else:
+            raise AssertionError(
+                f"no JSON report on worker stdout:\n{stdout[-2000:]}\n"
+                f"stderr:\n{stderr[-2000:]}"
+            )
 
     assert {o["process"] for o in outs} == {0, 1}
     for o in outs:
