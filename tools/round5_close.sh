@@ -4,6 +4,12 @@
 # writes evidence incrementally and logs to runs/close_r5.log; a timeout
 # on one step does not lose prior results.
 #
+# Order is by evidence value per chip-minute: the trained RD ladder is the
+# round's headline artifact, then REM-at-flagship-scale, then the 2K tiled
+# bench, then bench.py (the driver re-runs bench.py at round end; running
+# it here warms the persistent compile cache for that run and records a
+# local copy).
+#
 # GATE: the close-out is not complete unless the CPU test suite is green —
 # run (niced) while the chip steps proceed, recorded at the end of the log.
 set -x
@@ -16,28 +22,27 @@ JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
   nice -n 19 python -m pytest tests/ -q > runs/suite_r5.log 2>&1 &
 SUITE_PID=$!
 
-echo "== bench (scalar-fenced, subprocess per config) ==" >> "$LOG"
-timeout 3600 python bench.py > runs/bench_r5_local.json 2>> "$LOG"
-cat runs/bench_r5_local.json >> "$LOG"
+CKPT=runs/flagship_r5/ckpt_best
+[ -d "$CKPT" ] || CKPT=runs/flagship_r5/ckpt_last
 
-echo "== pallas encode-scan decision probe ==" >> "$LOG"
-timeout 1800 python tools/probe_honest.py --quality 10 --batch 8 \
-  --scan-impl pallas --json-out runs/probe_honest_q10_b8_pallas.json >> "$LOG" 2>&1
-
-echo "== rd ladder (full grid, trained r5) ==" >> "$LOG"
+echo "== rd ladder (full grid, trained r5, ckpt=$CKPT) ==" >> "$LOG"
 timeout 4800 python tools/rd_ladder.py \
-  --checkpoint runs/flagship_r5/ckpt_best --grid full --n-images 8 \
+  --checkpoint "$CKPT" --grid full --n-images 8 \
   --out-jsonl runs/rd_r5_points.jsonl --out runs/rd_r5.json >> "$LOG" 2>&1
 
 echo "== bd trajectory ==" >> "$LOG"
 python tools/bd_trajectory.py --run runs/flagship_r5 >> "$LOG" 2>&1
 
-echo "== 2k tiled bench (scalar-fenced) ==" >> "$LOG"
+echo "== REM at flagship scale ==" >> "$LOG"
+timeout 3600 python tools/rem_flagship.py \
+  --checkpoint "$CKPT" >> "$LOG" 2>&1
+
+echo "== 2k tiled bench (forced-sync headline) ==" >> "$LOG"
 timeout 2400 python tools/bench_2k.py >> "$LOG" 2>&1
 
-echo "== REM at flagship scale ==" >> "$LOG"
-timeout 4800 python tools/rem_flagship.py \
-  --checkpoint runs/flagship_r5/ckpt_best >> "$LOG" 2>&1
+echo "== bench (scalar-fenced, subprocess per config) ==" >> "$LOG"
+timeout 3600 python bench.py > runs/bench_r5_local.json 2>> "$LOG"
+cat runs/bench_r5_local.json >> "$LOG"
 
 echo "== suite gate ==" >> "$LOG"
 wait "$SUITE_PID"
