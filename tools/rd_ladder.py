@@ -123,6 +123,16 @@ def main(argv=None):
         "psnr": [r["psnr"] for r in points],
         "ms_ssim_db": [r["ms_ssim_db"] for r in points],
     }
+    # MS-SSIM sanity (VERDICT r4 weak #2): on the same images a real
+    # metric moves smoothly with quality — record the worst adjacent jump
+    # so a precision regression is visible in the artifact itself.
+    ms = result["ms_ssim_db"]
+    if len(ms) >= 2:
+        jumps = [abs(b - a) for a, b in zip(ms, ms[1:])]
+        result["ms_ssim_db_max_adjacent_jump"] = round(max(jumps), 3)
+        result["ms_ssim_db_monotone_violations"] = sum(
+            1 for a, b in zip(ms, ms[1:]) if b < a - 0.15
+        )
     prog = [(b, p) for r, b, p in zip(result["qualities"], result["bpp"], result["psnr"]) if r > 0]
     try:
         result["bd_rate_vs_fixed_pret"] = bd_rate(
