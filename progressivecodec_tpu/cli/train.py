@@ -214,19 +214,6 @@ def main(argv=None):
         )
         if val is not None:
             _log(args.out, {"epoch": epoch, "valid": val})
-        # entropy-estimate test sweep at the reference's 14-point quality
-        # ladder (train.py:337: [0,0.01,0.05,0.1,0.25,0.5,1,1.5,2,2.5,3,4,5,10])
-        if (epoch + 1) % args.eval_every == 0:
-            test = _try_eval(
-                args.out, epoch, "test",
-                lambda: entropy_estimate_eval(
-                    codec, test_imgs[:4],
-                    pr_list=(0.0, 0.01, 0.05, 0.1, 0.25, 0.5, 1.0, 1.5,
-                             2.0, 2.5, 3.0, 4.0, 5.0, 10.0),
-                ),
-            )
-            if test is not None:
-                _log(args.out, {"epoch": epoch, "test": test})
         # ReduceLROnPlateau analog (train.py:333 steps on VALIDATION loss;
         # factor/patience train.py:276): scale lr by lr_factor after
         # lr_patience non-improving epochs — applied via opt-state
@@ -244,7 +231,46 @@ def main(argv=None):
                             "lr": tcfg.lr * new_plateau.scale})
         plateau = new_plateau
 
+        # best = lowest VALIDATION loss (reference train.py:345: is_best on
+        # the valid criterion, not train loss)
+        if plateau_metric < best_loss:
+            best_loss = plateau_metric
+        extra = {
+            "epoch": epoch,
+            "best_loss": best_loss,
+            "plateau": {"best": plateau.best, "bad_epochs": plateau.bad_epochs,
+                        "scale": plateau.scale},
+        }
+        # CHECKPOINT BEFORE the periodic heavy evals: each static-quality
+        # point of the sweep is a fresh full-model XLA compile, and on this
+        # backend the compile path can spike host RSS enough for a global
+        # OOM kill (measured: 130 GB into the 14-point sweep).  With the
+        # checkpoint already on disk a kill costs the evals, not the epoch
+        # — the babysitter resumes at the NEXT epoch, and each attempt's
+        # completed compiles land in the persistent cache so a later sweep
+        # finishes where the last one died.
+        save_checkpoint(
+            os.path.join(args.out, "ckpt_last"), state, mcfg, tcfg, extra=extra
+        )
+        if plateau_metric <= best_loss:
+            save_checkpoint(
+                os.path.join(args.out, "ckpt_best"), state, mcfg, tcfg, extra=extra
+            )
+
+        # entropy-estimate test sweep at the reference's 14-point quality
+        # ladder (train.py:337: [0,0.01,0.05,0.1,0.25,0.5,1,1.5,2,2.5,3,4,5,10])
         if (epoch + 1) % args.eval_every == 0:
+            test = _try_eval(
+                args.out, epoch, "test",
+                lambda: entropy_estimate_eval(
+                    codec, test_imgs[:4],
+                    pr_list=(0.0, 0.01, 0.05, 0.1, 0.25, 0.5, 1.0, 1.5,
+                             2.0, 2.5, 3.0, 4.0, 5.0, 10.0),
+                ),
+            )
+            if test is not None:
+                _log(args.out, {"epoch": epoch, "test": test})
+
             def _real_eval():
                 codec.update()
                 return evaluate_codec(codec, test_imgs[:4], pr_list=(0.0, 1.0, 10.0))
@@ -257,24 +283,6 @@ def main(argv=None):
                     rd_curve_dict(real["bpp"], real["psnr"], "ours"),
                 ]
                 plot_rd(curves, os.path.join(args.out, f"rd_epoch{epoch}.png"))
-
-        # best = lowest VALIDATION loss (reference train.py:345: is_best on
-        # the valid criterion, not train loss)
-        if plateau_metric < best_loss:
-            best_loss = plateau_metric
-        extra = {
-            "epoch": epoch,
-            "best_loss": best_loss,
-            "plateau": {"best": plateau.best, "bad_epochs": plateau.bad_epochs,
-                        "scale": plateau.scale},
-        }
-        save_checkpoint(
-            os.path.join(args.out, "ckpt_last"), state, mcfg, tcfg, extra=extra
-        )
-        if plateau_metric <= best_loss:
-            save_checkpoint(
-                os.path.join(args.out, "ckpt_best"), state, mcfg, tcfg, extra=extra
-            )
 
 
 if __name__ == "__main__":
