@@ -26,7 +26,7 @@ CKPT=runs/flagship_r5/ckpt_best
 [ -d "$CKPT" ] || CKPT=runs/flagship_r5/ckpt_last
 
 echo "== rd ladder (full grid, trained r5, ckpt=$CKPT) ==" >> "$LOG"
-timeout 4800 python tools/rd_ladder.py \
+timeout 4200 python tools/rd_ladder.py \
   --checkpoint "$CKPT" --grid full --n-images 8 \
   --out-jsonl runs/rd_r5_points.jsonl --out runs/rd_r5.json >> "$LOG" 2>&1
 
@@ -34,8 +34,8 @@ echo "== bd trajectory ==" >> "$LOG"
 python tools/bd_trajectory.py --run runs/flagship_r5 >> "$LOG" 2>&1
 
 echo "== REM at flagship scale ==" >> "$LOG"
-timeout 3600 python tools/rem_flagship.py \
-  --checkpoint "$CKPT" >> "$LOG" 2>&1
+timeout 2700 python tools/rem_flagship.py \
+  --checkpoint "$CKPT" --bank-steps 800 >> "$LOG" 2>&1
 
 echo "== 2k tiled bench (forced-sync headline) ==" >> "$LOG"
 timeout 2400 python tools/bench_2k.py >> "$LOG" 2>&1
