@@ -78,13 +78,30 @@ def run_mode(mode: str, n: int, warm_drain_s: float) -> dict:
     val = float(jnp.mean(outs[-1]["x_hat"]))  # 4-byte completion fence
     dt = (time.perf_counter() - t0) / n
     ok = all(bool(o["stream_ok"]) for o in outs)  # degraded-mode d2h, fine
+
+    # ---- fence crossed: process degraded.  Serialized forced-sync floor —
+    # the defensible headline in this environment (probe_honest docstring:
+    # deep clean-mode queues wedge the tunnel; the fenced figure above can
+    # measure queue pathology, not device compute).
+    o = chain(x)
+    _ = float(jnp.mean(o["x_hat"]))  # warm the degraded path
+    t0 = time.perf_counter()
+    n_forced = 4
+    ok_f = True
+    for _i in range(n_forced):
+        o = chain(x)
+        _ = float(jnp.mean(o["x_hat"]))
+        ok_f = ok_f and bool(o["stream_ok"])
+    dt_f = (time.perf_counter() - t0) / n_forced
     return {
         "mode": mode,
         "n_chains": n,
-        "ms_per_image": round(dt * 1e3, 2),
-        "images_per_s": round(1.0 / dt, 3),
+        "ms_per_image_fenced": round(dt * 1e3, 2),
+        "images_per_s_fenced": round(1.0 / dt, 3),
+        "forced_sync_ms_per_image": round(dt_f * 1e3, 2),
+        "forced_sync_images_per_s": round(1.0 / dt_f, 3),
         "fence_value_finite": bool(val == val),
-        "stream_ok": ok,
+        "stream_ok": ok and ok_f,
         "lanes": codec.lanes,
     }
 
@@ -92,7 +109,8 @@ def run_mode(mode: str, n: int, warm_drain_s: float) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=("untiled", "tiled"), default=None)
-    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--n", type=int, default=4,
+                    help="shallow queue: deep queues wedge the tunnel")
     ap.add_argument("--warm-drain-s", type=float, default=10.0)
     ap.add_argument("--json-out", type=str, default=None)
     args = ap.parse_args()
@@ -108,7 +126,9 @@ def main():
     ensure_params()
     os.makedirs("runs", exist_ok=True)
     tool = os.path.abspath(__file__)
-    merged = {"shape": [1024, 2048], "protocol": "scalar-fenced, one subprocess per mode"}
+    merged = {"shape": [1024, 2048],
+              "protocol": "serialized forced-sync headline + shallow "
+                          "scalar-fenced secondary, one subprocess per mode"}
     for mode in ("untiled", "tiled"):
         out_path = f"runs/bench_2k_{mode}.json"
         proc = subprocess.run(
@@ -124,8 +144,11 @@ def main():
         r = json.load(open(out_path))
         assert r["stream_ok"] and r["fence_value_finite"], r
         key = "tiled_mesh1" if mode == "tiled" else "untiled"
-        merged[f"{key}_ms_per_image"] = r["ms_per_image"]
-        merged[f"{key}_images_per_s"] = r["images_per_s"]
+        # headline: serialized forced-sync floor (see run_mode comment);
+        # the shallow-queue fenced figure is kept as a secondary column.
+        merged[f"{key}_ms_per_image"] = r["forced_sync_ms_per_image"]
+        merged[f"{key}_images_per_s"] = r["forced_sync_images_per_s"]
+        merged[f"{key}_ms_per_image_fenced"] = r["ms_per_image_fenced"]
         merged["lanes"] = r["lanes"]
     merged["halo_overhead_pct"] = round(
         100.0 * (merged["tiled_mesh1_ms_per_image"] / merged["untiled_ms_per_image"] - 1.0), 1
